@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table access + session conf the whole engine assumes.
+  *
+  * The reference runs Spark 3 with non-ANSI semantics and
+  * `spark.sql.legacy.timeParserPolicy=LEGACY` (reference
+  * etl1_clean_and_stage.py:23, etl2_advclean_and_dimcreatin.py:46).
+  * We pin non-ANSI + UTC at every entry point so query semantics match
+  * the classic DataFrame behavior (to_date → null on bad input, casts
+  * never throw) and so the DuckDB oracle agrees on day truncation.
+  */
+object Tables {
+  /** Idempotent; call at the top of every query builder so semantics do
+    * not depend on who created the session. */
+  def ensureConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
+
+/** One verifiable operator: a Spark builder + (optionally) equivalent
+  * ANSI SQL the driver runs in DuckDB over the same parquet tables. */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String)

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core operator inventory (SURVEY.md §2) wired to the fixture tables.
+  * Every query is deterministic (set-equality safe) and has a DuckDB
+  * oracle. Aggregates over fractional doubles go through round-to-cents
+  * BIGINT so both engines sum exactly (order-independent). */
+object CoreQueries {
+  import Tables.load
+
+  /** §2.4-style flagship aggregation (the star schema's purpose —
+    * reference README.md:12): pricing summary over lineitem.
+    * Scale: map-side partial agg + single shuffle on the 2 group keys;
+    * cents-as-long keeps the sum associative and exact. */
+  val q1PricingSummary = Q(
+    "q1_pricing_summary",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val li = load(spark, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("disc_price_cents"),
+        count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+      CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_price_cents,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+    "GroupBy aggregate (flagship; SURVEY §2.4 note)")
+
+  /** W1/A3: deterministic newest-wins dedup — latest order per customer
+    * (reference etl1:68-70, with the etl2:236 deterministic tiebreak).
+    * Scale: single shuffle on o_custkey; row_number streams per group. */
+  val qDedupLatest = Q(
+    "q_dedup_latest",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+      Dedup.latestPerKey(o, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"""),
+    "W1/A3 deterministic keyed dedup (newest-wins window)")
+
+  /** §2.8 date family: multi-format defensive parse
+    * (reference etl1:32-53). Dirty strings are synthesized
+    * deterministically from o_orderdate so DuckDB reproduces them. */
+  val qDateParseMulti = Q(
+    "q_date_parse_multi",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+      val k = col("o_orderkey")
+      val raw = when(k % 11 === 0, lit("not a date"))
+        .when(k % 3 === 0, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .when(k % 3 === 1, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+        .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy"))
+      o.select(k.as("o_orderkey"), raw.as("raw"),
+        DateParse.parseMulti(raw).as("parsed"))
+    },
+    Some("""WITH s AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'not a date'
+             WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+             WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+             ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw
+      FROM orders),
+    c AS (
+      SELECT o_orderkey, raw,
+        regexp_replace(regexp_replace(raw, '[^\d/.\-]', '', 'g'),
+                       '[\.\-]', '/', 'g') AS u
+      FROM s)
+    SELECT o_orderkey, raw,
+      CASE WHEN regexp_matches(u, '^\d{2}/\d{2}/\d{4}$')
+             THEN CAST(try_strptime(u, '%d/%m/%Y') AS DATE)
+           WHEN regexp_matches(u, '^\d{4}/\d{2}/\d{2}$')
+             THEN CAST(try_strptime(u, '%Y/%m/%d') AS DATE)
+           ELSE NULL END AS parsed
+    FROM c"""),
+    "§2.8 multi-format to_date with cleaning regexes")
+
+  /** SHA-256 content-addressed surrogate keys over normalized natural
+    * key (reference etl2:156-162). */
+  val qSurrogateKeys = Q(
+    "q_surrogate_keys",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val p = load(spark, dir, "part")
+      p.select(
+        Keys.sha(Norm.lowerTrim(col("p_name")), Norm.lowerTrim(col("p_brand")),
+          col("p_size").cast("string")).as("part_sk"),
+        Norm.lowerTrim(col("p_name")).as("name_norm"),
+        Norm.lowerTrim(col("p_brand")).as("brand_norm"),
+        col("p_size")).distinct()
+    },
+    Some("""SELECT DISTINCT
+      sha256(concat_ws('|',
+        coalesce(nullif(trim(lower(trim(p_name))), ''), 'UNKNOWN'),
+        coalesce(nullif(trim(lower(trim(p_brand))), ''), 'UNKNOWN'),
+        coalesce(nullif(trim(CAST(p_size AS VARCHAR)), ''), 'UNKNOWN'))) AS part_sk,
+      lower(trim(p_name)) AS name_norm,
+      lower(trim(p_brand)) AS brand_norm,
+      p_size
+      FROM part"""),
+    "SHA-256 surrogate keys (etl2:156-162)")
+
+  /** P6: column-misalignment repair (reference etl1:76-94), on rows
+    * synthesized deterministically from customer. */
+  val qMisalignRepair = Q(
+    "q_misalign_repair",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val c = load(spark, dir, "customer")
+      val k = col("c_custkey")
+      val officeRaw = when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 11 === 0, lit("TS"))
+        .otherwise(col("c_mktsegment"))
+      val fromRaw = when(k % 7 === 0, concat(lit("RTA "), upper(col("c_name"))))
+        .when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(lit("01/02/2015"))
+      val (office, fd) = Repair.officeCdRepair(officeRaw, fromRaw)
+      c.select(k.as("c_custkey"), office.as("office_cd"), fd.as("fromdate"))
+    },
+    Some("""WITH s AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL
+             WHEN c_custkey % 11 = 0 THEN 'TS'
+             ELSE c_mktsegment END AS office_raw,
+        CASE WHEN c_custkey % 7 = 0 THEN concat('RTA ', upper(c_name))
+             WHEN c_custkey % 5 = 0 THEN NULL
+             ELSE '01/02/2015' END AS from_raw
+      FROM customer)
+    SELECT c_custkey,
+      CASE WHEN regexp_matches(from_raw, '(?i)^(RTA|UNIT OFFICE|MVI|DTO|ZONAL|TRANSPORT).*')
+                AND office_raw IS NULL THEN from_raw
+           WHEN regexp_matches(office_raw, '(?i)^(TS|TG)$') THEN NULL
+           ELSE office_raw END AS office_cd,
+      CASE WHEN regexp_matches(from_raw, '(?i)^(RTA|UNIT OFFICE|MVI|DTO|ZONAL|TRANSPORT).*')
+           THEN NULL ELSE from_raw END AS fromdate
+    FROM s"""),
+    "P6 conditional column swap / misalignment repair (etl1:76-94)")
+
+  /** §2.8 array family: split → first word → variant from remaining
+    * words (reference etl1:104-108). */
+  val qArrayModelWords = Q(
+    "q_array_model_words",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val p = load(spark, dir, "part")
+      val words = split(Norm.cleanModelDesc(col("p_name")), "\\s+")
+      p.select(col("p_partkey"),
+        words.getItem(0).as("model_word"),
+        concat_ws(" ", slice(words, lit(2), greatest(size(words) - 1, lit(0))))
+          .as("variant"),
+        size(words).as("n_words"))
+    },
+    Some("""WITH s AS (
+      SELECT p_partkey,
+        regexp_split_to_array(
+          regexp_replace(p_name, '[^A-Za-z0-9\s\+\-\(\)\./]', '', 'g'),
+          '\s+') AS words
+      FROM part)
+    SELECT p_partkey,
+      words[1] AS model_word,
+      array_to_string(words[2:len(words)], ' ') AS variant,
+      len(words) AS n_words
+    FROM s"""),
+    "§2.8 split/getItem/slice/size/concat_ws (etl1:104-108)")
+
+  /** A2: distinct key-set projection (reference etl2:216-217). */
+  val qDistinctKeys = Q(
+    "q_distinct_keys",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    },
+    Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"),
+    "A2 distinct() key projection (etl2:216-217)")
+
+  /** §2.6: global top-k with deterministic tiebreak.
+    * Scale: Spark's TakeOrderedAndProject — per-partition top-k then
+    * driver merge of k·P rows, no full sort. */
+  val qTopkGlobal = Q(
+    "q_topk_global",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""),
+    "§2.6 global top-k (orderBy+limit)")
+
+  /** S10: row-count actions as one relation (reference etl1:60,139). */
+  val qCounts = Q(
+    "q_counts",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      Seq("customer", "orders", "lineitem", "part")
+        .map(t => load(spark, dir, t)
+          .agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+        .reduce(_.unionByName(_))
+    },
+    Some("""SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+      UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      UNION ALL SELECT 'part', COUNT(*) FROM part"""),
+    "S10 row-count action (etl1:60,139; etl2:95)")
+
+  val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
+    qSurrogateKeys, qMisalignRepair, qArrayModelWords, qDistinctKeys,
+    qTopkGlobal, qCounts)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ (Spark parquet) and oracle_sql.json, runs
+each oracle in DuckDB with the sfDir tables registered as views, and
+compares as unordered multisets with column names sorted.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    key = sorted(df.columns)
+    return df.sort_values(key, kind="mergesort", na_position="last").reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.execute(sql).df()
+            g, w = canon(got), canon(want)
+            if list(g.columns) != list(w.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+                n_bad += 1
+                continue
+            if len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+                n_bad += 1
+                continue
+            diff_cols = []
+            for c in g.columns:
+                a, b = g[c], w[c]
+                if pd.api.types.is_float_dtype(a):
+                    eq = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
+                if not bool(eq.all()):
+                    diff_cols.append(c)
+            if diff_cols:
+                n_bad += 1
+                print(f"FAIL {name}: value mismatch in {diff_cols}")
+                for c in diff_cols[:2]:
+                    m = ~(((g[c] == w[c]) | (g[c].isna() & w[c].isna())))
+                    print(f"  {c} spark={g[c][m].head(3).tolist()} duck={w[c][m].head(3).tolist()}")
+            else:
+                n_ok += 1
+                print(f"OK   {name} ({len(g)} rows)")
+        except Exception as e:
+            n_bad += 1
+            print(f"ERR  {name}: {str(e).splitlines()[0] if str(e) else e}")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
