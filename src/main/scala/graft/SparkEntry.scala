@@ -1,13 +1,14 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, JoinQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Full operator registry; each Q is independently verifiable. */
-  def registry: Seq[Q] = CoreQueries.all
+  def registry: Seq[Q] =
+    CoreQueries.all ++ JoinQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Star-style: deterministic newest-order-per-customer dedup

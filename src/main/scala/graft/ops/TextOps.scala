@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale corpus processing:
+  * tokenization, shingling, content hashing, MinHash, SimHash.
+  *
+  * All pure Column expressions (whole-stage-codegen'd, no UDFs): every
+  * derivation is row-local, so the operators scale embarrassingly —
+  * the only shuffles in the dedup pipelines are the candidate-pair
+  * joins, which are blocked (LSH bands / shingle inverted index) to
+  * keep candidate sets bounded. Extension work beyond the reference's
+  * own surface (it has none of these); hashing discipline follows its
+  * content-addressed-key idea (etl2_advclean_and_dimcreatin.py:156-162).
+  */
+object TextOps {
+  /** Mersenne prime 2^31-1: modulus for MinHash universal hashing. */
+  val P = 2147483647L
+
+  /** Multipliers/offsets for the k=8 MinHash permutations — small odd
+    * constants so a*h+b stays well under 2^63. */
+  val MinhashA: Seq[Long] = Seq(7L, 13L, 29L, 41L, 53L, 67L, 83L, 97L)
+  val MinhashB: Seq[Long] = Seq(3L, 11L, 19L, 31L, 43L, 59L, 71L, 89L)
+
+  /** lower + trim + collapse whitespace — canonical text form. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Word tokens of the canonical form (split on the single spaces
+    * normText guarantees). */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Word 3-gram shingles; short docs collapse to one whole-doc
+    * shingle so every document has a non-empty shingle set. */
+  def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", slice(w, i, lit(3)))))
+      .otherwise(array(concat_ws(" ", w)))
+
+  /** String → uniform long in [0, P): first 60 bits of md5, mod P.
+    * Reproducible in any engine with md5 + hex→int. */
+  def stringHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+
+  /** MinHash signature (k values) over a set of hashed shingles:
+    * mh_i = min over h of (a_i*h + b_i) mod P. Row-local. */
+  def minhashSignature(hashes: Column): Column = {
+    val mins = MinhashA.zip(MinhashB).map { case (a, b) =>
+      aggregate(hashes, lit(P),
+        (acc, h) => least(acc, pmod(h * a + b, lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** SimHash (nBits wide, default 16) over a set of hashed tokens:
+    * bit b is set iff sum over tokens of ±1 (per token-hash bit b) is
+    * positive. Row-local; bit test via exact double ops
+    * (floor(h / 2^b) mod 2) so any engine reproduces it. */
+  def simhash(hashes: Column, nBits: Int = 16): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0L),
+          (s, h) => s + when(
+            floor(h / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
+        acc + when(vote > 0, floor(pow(lit(2.0), b)).cast("long")).otherwise(0L)
+      })
+
+  /** Exact content fingerprint: md5 hex of the canonical text. */
+  def fingerprintMd5(c: Column): Column = md5(normText(c))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation
+    * marks — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in a fixed vocabulary. */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(vocab.map(lit): _*), t)))
+
+  /** Non-printable-ASCII character count (CJK etc. detector that works
+    * identically under Java regex and RE2). */
+  def nonAsciiCount(c: Column): Column =
+    length(regexp_replace(c, "[ -~]", ""))
+}

@@ -1,0 +1,343 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.TextOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over `documents`: tokenization, quality
+  * scoring, language ID, fingerprinting, and the dedup family (exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash). All derivations are
+  * row-local expressions; only candidate-pair joins shuffle, and those
+  * are blocked (inverted index / LSH bands) so they stay bounded at
+  * corpus scale. Ratio outputs are integer basis points — no raw
+  * doubles, so exact cross-engine compares hold. */
+object TextQueries {
+  import Tables.load
+
+  private val Stop = Seq("the", "a", "and", "of", "is", "to")
+
+  /** Token statistics: chars, whitespace tokens, BPE-ish tokens,
+    * distinct words. */
+  val qTextTokens = Q(
+    "q_text_tokens",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val w = words(col("text"))
+      d.select(col("doc_id"),
+        length(col("text")).as("n_chars_meas"),
+        size(w).as("n_tokens_ws"),
+        bpeishTokenCount(col("text")).as("n_tokens_bpe"),
+        size(array_distinct(w)).as("n_distinct_words"))
+    },
+    Some("""SELECT doc_id,
+      length(text) AS n_chars_meas,
+      len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens_ws,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens_bpe,
+      len(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS n_distinct_words
+      FROM documents"""),
+    "Token counting: whitespace + BPE-ish regex + distinct words")
+
+  /** Quality scoring: length/punctuation/stopword components combined
+    * to a 0–10000 basis-point score. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val w = words(col("text"))
+      val nW = size(w)
+      val nC = length(col("text"))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val stops = vocabHits(w, Stop)
+      val lenScore = least(nW.cast("double") / 200.0, lit(1.0))
+      val punctScore = lit(1.0) - least(punct.cast("double") / greatest(nC, lit(1)), lit(1.0))
+      val stopScore = least(stops.cast("double") * 10.0 / greatest(nW, lit(1)), lit(1.0))
+      d.select(col("doc_id"),
+        nC.as("n_chars"), nW.as("n_words"),
+        punct.as("n_punct"), stops.as("n_stopwords"),
+        round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000)
+          .cast("long").as("quality_bp"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id, length(text) AS n_chars,
+        len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+        length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          t -> t IN ('the','a','and','of','is','to'))) AS n_stopwords
+      FROM documents)
+    SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
+      CAST(round((least(n_words/200.0, 1.0) * 0.4
+        + (1.0 - least(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 1.0)) * 0.3
+        + least(n_stopwords*10.0/greatest(n_words,1), 1.0) * 0.3) * 10000) AS BIGINT) AS quality_bp
+    FROM s"""),
+    "Quality scoring: length/punct/stopword components → basis points")
+
+  /** Language ID: stopword-profile hits per language + non-ASCII count
+    * for CJK; argmax with alphabetical tiebreak. */
+  val qTextLangid = Q(
+    "q_text_langid",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val w = words(col("text"))
+      val sDe = vocabHits(w, Seq("der", "die", "das", "und", "ist", "nicht"))
+      val sEn = vocabHits(w, Seq("the", "a", "and", "of", "is", "to"))
+      val sEs = vocabHits(w, Seq("el", "la", "los", "y", "es", "de"))
+      val sFr = vocabHits(w, Seq("le", "la", "les", "et", "est", "de"))
+      val sZh = nonAsciiCount(col("text"))
+      val m = greatest(sDe, sEn, sEs, sFr, sZh)
+      d.select(col("doc_id"), col("lang"),
+        sDe.as("s_de"), sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"),
+        sZh.as("s_zh"),
+        when(sDe === m, "de").when(sEn === m, "en").when(sEs === m, "es")
+          .when(sFr === m, "fr").otherwise("zh").as("pred_lang"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          t -> t IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          t -> t IN ('the','a','and','of','is','to'))) AS s_en,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          t -> t IN ('el','la','los','y','es','de'))) AS s_es,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          t -> t IN ('le','la','les','et','est','de'))) AS s_fr,
+        length(regexp_replace(text, '[ -~]', '', 'g')) AS s_zh
+      FROM documents)
+    SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+      CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+    FROM s"""),
+    "Language ID: n-gram/stopword profile heuristic with argmax")
+
+  /** Document fingerprinting: exact md5 of canonical text + shingle
+    * min-hash (the rolling-hash family). */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val sh = shingles3(words(col("text")))
+      d.select(col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        size(array_distinct(sh)).as("n_shingles"),
+        array_min(transform(sh, s => stringHash(s))).as("min_shingle_hash"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, text,
+        CASE WHEN len(w) >= 3
+          THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+          ELSE [array_to_string(w, ' ')] END AS sh
+      FROM s)
+    SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+      len(list_distinct(sh)) AS n_shingles,
+      list_min([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647 FOR x IN sh]) AS min_shingle_hash
+    FROM g"""),
+    "Fingerprinting: md5 canonical + min shingle hash")
+
+  /** Exact dedup: hash-groupBy on a 5-word-prefix fingerprint; groups
+    * with >1 doc are duplicate clusters, min doc id is canonical.
+    * Scale: one map-side-combinable shuffle on the fingerprint. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val w = words(col("text"))
+      d.select(col("doc_id"), md5(concat_ws(" ", slice(w, 1, 5))).as("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+        .filter(col("n_docs") > 1)
+    },
+    Some("""SELECT
+      md5(array_to_string((string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:5], ' ')) AS prefix_fp,
+      COUNT(*) AS n_docs, min(doc_id) AS canonical_doc_id
+      FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""),
+    "Exact dedup: hash-groupBy on content fingerprint")
+
+  /** N-gram Jaccard near-dedup: inverted-index candidate join on
+    * shared 3-gram shingles, then Jaccard over the shingle sets.
+    * Scale: the join key is the shingle (bounded candidate lists);
+    * hot shingles would be dropped by a doc-frequency cap upstream. */
+  val qDedupNgramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val base = d.select(col("doc_id"),
+        array_distinct(shingles3(words(col("text")))).as("sh"))
+      val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s"))
+      a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jacc_bp",
+          round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
+            .cast("long"))
+        .filter(col("jacc_bp") >= 2000)
+        .select("doc_a", "doc_b", "shared", "jacc_bp")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3
+          THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+          ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)),
+    e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        COUNT(*) AS shared
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, shared,
+      CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) AS jacc_bp
+    FROM p
+    WHERE CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) >= 2000"""),
+    "Near-dedup: n-gram Jaccard via shingle inverted-index join")
+
+  /** MinHash+LSH near-dedup: k=8 signature, 4 bands × 2 rows,
+    * candidates share a band, verified with true Jaccard over hashed
+    * shingle sets. Scale: band buckets bound the pair space —
+    * no all-pairs work anywhere. */
+  val qDedupMinhashLsh = Q(
+    "q_dedup_minhash_lsh",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val base = d.select(col("doc_id"),
+        transform(array_distinct(shingles3(words(col("text")))), s => stringHash(s))
+          .as("hs"))
+        .withColumn("sig", minhashSignature(col("hs")))
+      val bands = base.select(col("doc_id"), col("hs"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("_", element_at(col("sig"), 2 * j + 1),
+              element_at(col("sig"), 2 * j + 2)).as("key"))): _*)).as("b"))
+        .select(col("doc_id"), col("hs"), col("b.band"), col("b.key"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("band"), col("key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("band"), col("key"))
+      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jacc_bp",
+          round(lit(10000.0) * col("shared") /
+            (size(col("ha")) + size(col("hb")) - col("shared"))).cast("long"))
+        .select("doc_a", "doc_b", "shared", "jacc_bp")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
+          FOR x IN (CASE WHEN len(w) >= 3
+            THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+            ELSE [array_to_string(w, ' ')] END)]) AS hs
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)),
+    sg AS (
+      SELECT doc_id, hs,
+        [list_min([(h*7+3)%2147483647 FOR h IN hs]),
+         list_min([(h*13+11)%2147483647 FOR h IN hs]),
+         list_min([(h*29+19)%2147483647 FOR h IN hs]),
+         list_min([(h*41+31)%2147483647 FOR h IN hs]),
+         list_min([(h*53+43)%2147483647 FOR h IN hs]),
+         list_min([(h*67+59)%2147483647 FOR h IN hs]),
+         list_min([(h*83+71)%2147483647 FOR h IN hs]),
+         list_min([(h*97+89)%2147483647 FOR h IN hs])] AS sig
+      FROM d),
+    bands AS (
+      SELECT doc_id, hs, unnest([
+        {'band': 0, 'key': concat_ws('_', sig[1], sig[2])},
+        {'band': 1, 'key': concat_ws('_', sig[3], sig[4])},
+        {'band': 2, 'key': concat_ws('_', sig[5], sig[6])},
+        {'band': 3, 'key': concat_ws('_', sig[7], sig[8])}], recursive := true)
+      FROM sg),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.hs AS ha, b.hs AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      len(list_filter(ha, h -> list_contains(hb, h))) AS shared,
+      CAST(round(10000.0 * len(list_filter(ha, h -> list_contains(hb, h)))
+        / (len(ha) + len(hb) - len(list_filter(ha, h -> list_contains(hb, h)))))
+        AS BIGINT) AS jacc_bp
+    FROM cand"""),
+    "Near-dedup: MinHash signatures + LSH bands + Jaccard verify")
+
+  /** SimHash: 32-bit signature per doc (row-local), then near-dup
+    * pairs via byte-band blocking (pigeonhole: hamming ≤ 1 ⇒ some
+    * byte equal) + Hamming filter. */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val base = d.select(col("doc_id"),
+        simhash(transform(array_distinct(words(col("text"))), w => stringHash(w)), 32)
+          .as("sim"))
+      val bands = base.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            (floor(col("sim") / math.pow(2, 8 * j).toLong).cast("long") % 256)
+              .as("nib"))): _*)).as("b"))
+        .select(col("doc_id"), col("sim"), col("b.band"), col("b.nib"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+        col("band"), col("nib"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+        col("band"), col("nib"))
+      a.join(b, Seq("band", "nib")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 1)
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
+          col("hamming").cast("int").as("hamming"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
+          FOR x IN string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')]) AS wh
+      FROM documents),
+    sg AS (
+      SELECT doc_id,
+        list_sum([CASE WHEN list_sum([CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1
+            THEN 1 ELSE -1 END FOR h IN wh]) > 0
+          THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END
+          FOR b IN generate_series(0, 31)]) AS sim
+      FROM d),
+    bands AS (
+      SELECT doc_id, sim, unnest([
+        {'band': 0, 'nib': CAST(floor(sim / 1) AS BIGINT) % 256},
+        {'band': 1, 'nib': CAST(floor(sim / 256) AS BIGINT) % 256},
+        {'band': 2, 'nib': CAST(floor(sim / 65536) AS BIGINT) % 256},
+        {'band': 3, 'nib': CAST(floor(sim / 16777216) AS BIGINT) % 256}], recursive := true)
+      FROM sg),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sim AS sim_a, b.sim AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, sim_a, sim_b,
+      CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1"""),
+    "Near-dedup: 32-bit SimHash + byte-band blocking + Hamming filter")
+
+  val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
+    qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
+    qDedupSimhash)
+}

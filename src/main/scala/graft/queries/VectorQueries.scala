@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.VectorOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding near-dedup over `embeddings`
+  * (array<float>, 64-dim). Cosine math is done on exact float→double
+  * widenings with a fixed left-to-right accumulation order, so the
+  * DuckDB oracle reproduces the doubles bit-for-bit; outputs carry
+  * ranks / integer basis points, never raw doubles. */
+object VectorQueries {
+  import Tables.load
+
+  private val Dims = 64
+
+  /** Brute-force cosine top-k (the exact baseline an ANN variant is
+    * judged against). Scale: the query set is broadcast; the corpus is
+    * scanned once, top-k per query via window over (query, cos). */
+  val qAnnCosineTopk = Q(
+    "q_ann_cosine_topk",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    Some("""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    c AS (
+      SELECT q.q_id, e.vec_id,
+        list_sum([qv[i] * v[i] FOR i IN generate_series(1, 64)])
+          / (sqrt(list_sum([qv[i] * qv[i] FOR i IN generate_series(1, 64)]))
+           * sqrt(list_sum([v[i] * v[i] FOR i IN generate_series(1, 64)]))) AS cos
+      FROM e JOIN q ON e.vec_id != q.q_id)
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
+      SELECT q_id, vec_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM c) WHERE rank <= 10"""),
+    "Similarity search: brute-force cosine top-k per query (exact baseline)")
+
+  /** Random-hyperplane LSH bucketing — the ANN scale path: signatures
+    * are row-local, near-neighbor work becomes per-bucket. Output is
+    * the bucket histogram (deterministic signature check). */
+  val qAnnLshBuckets = Q(
+    "q_ann_lsh_buckets",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+      e.withColumn("bucket", lshBucket(col("v"), 8, Dims))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+    },
+    Some("""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pp AS (
+      SELECT vec_id, p,
+        list_sum([v[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
+          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
+      FROM e, (SELECT unnest(generate_series(0, 7)) AS p)),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM pp GROUP BY vec_id)
+    SELECT bucket, COUNT(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket"""),
+    "Similarity search scale path: random-hyperplane LSH bucket histogram")
+
+  /** Embedding-cosine near-dedup: all-pairs at test scale (exact
+    * oracle), cos ≥ 0.45 in basis points. Scale note: the production
+    * path blocks pairs by LSH bucket (q_ann_lsh_buckets signatures)
+    * instead of all-pairs. */
+  val qDedupEmbCosine = Q(
+    "q_dedup_emb_cosine",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cos_bp", round(cosine(col("va"), col("vb")) * 10000).cast("long"))
+        .filter(col("cos_bp") >= 4500)
+        .select("vec_a", "vec_b", "cos_bp")
+    },
+    Some("""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(round(10000 * list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)])
+          / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN generate_series(1, 64)]))
+           * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)])))) AS BIGINT) AS cos_bp
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_bp FROM p WHERE cos_bp >= 4500"""),
+    "Near-dedup: embedding cosine pairs (all-pairs exact at test scale)")
+
+  val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine)
+}
