@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the scalar-operator layer (SURVEY.md §2.8, §2.2). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DateParse.parseMulti handles all reference shapes") {
+    val df = Seq(
+      ("01/02/2015", "2015-02-01"),   // dd/MM/yyyy
+      ("2015/02/01", "2015-02-01"),   // yyyy/MM/dd
+      ("01.02.2015", "2015-02-01"),   // dot separators unified
+      ("01-02-2015", "2015-02-01"),   // dash separators unified
+      ("n/a", null),                  // junk → null
+      ("", null)
+    ).toDF("raw", "want")
+    val got = df.select(col("want"),
+      DateParse.parseMulti(col("raw")).cast("string").as("got")).collect()
+    got.foreach { r => assert(r.getString(1) == r.getString(0), r.toString) }
+  }
+
+  test("DateParse 2-digit years resolve under LEGACY policy") {
+    val got = Seq("01/02/15").toDF("raw")
+      .select(DateParse.parseMulti(col("raw")).cast("string")).first.getString(0)
+    assert(got == "2015-02-01")
+  }
+
+  test("DateParse.dateKey produces int yyyyMMdd") {
+    val got = Seq("2015-02-01").toDF("d")
+      .select(DateParse.dateKey(col("d").cast("date"))).first.getInt(0)
+    assert(got == 20150201)
+  }
+
+  test("Repair.officeCdRepair moves office names and nulls state codes") {
+    val df = Seq(
+      (null.asInstanceOf[String], "RTA HYDERABAD"),  // misaligned → move
+      ("TS", "01/02/2015"),                          // state code → null
+      ("OFFICE9", "01/02/2015")                      // untouched
+    ).toDF("office", "fromdate")
+    val (o, f) = Repair.officeCdRepair(col("office"), col("fromdate"))
+    val rows = df.select(o.as("o"), f.as("f")).collect()
+    assert(rows(0) == Row("RTA HYDERABAD", null))
+    assert(rows(1) == Row(null, "01/02/2015"))
+    assert(rows(2) == Row("OFFICE9", "01/02/2015"))
+  }
+
+  test("Classify.fuelClass maps the reference classes") {
+    val cases = Seq("BATTERY POWERED" -> "ELECTRIC", "PETROL/CNG" -> "PETROL",
+      "DIESEL" -> "DIESEL", "CNG ONLY" -> "CNG", "LPG" -> "LPG",
+      "STEAM" -> "OTHERS", null.asInstanceOf[String] -> "OTHERS")
+    val got = cases.map(_._1).toDF("fuel")
+      .select(Classify.fuelClass(col("fuel"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("Classify.yearFix: 2-digit, 4-digit, embedded, junk") {
+    val cases = Seq("15" -> "2015", "1999" -> "1999",
+      "MODEL X 2018 LX" -> "2018", "junk" -> "UNKNOWN")
+    val got = cases.map(_._1).toDF("y")
+      .select(Classify.yearFix(col("y"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("Classify.emissionStd extracts and compacts BS levels") {
+    // "BS VI" → "BSV": the alternation tries BS\s?V before BS\s?VI and
+    // Java regex alternation is ordered — faithful to the reference's
+    // pattern (etl2_advclean_and_dimcreatin.py:125), quirk included.
+    val cases = Seq("bs iv engine" -> "BSIV", "BS VI" -> "BSV",
+      "none" -> "UNKNOWN")
+    val got = cases.map(_._1).toDF("e")
+      .select(Classify.emissionStd(col("e"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("Dedup.latestPerKey keeps exactly the ordered-first row per key") {
+    val df = Seq(
+      ("a", "2020-01-01", 1), ("a", "2021-01-01", 2), ("a", "2021-01-01", 3),
+      ("b", "2019-01-01", 4)
+    ).toDF("k", "d", "v")
+    val got = Dedup.latestPerKey(df, Seq("k"),
+      Seq(col("d").desc, col("v").desc)).orderBy("k")
+      .select("k", "v").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("a", 3), ("b", 4)))
+  }
+
+  test("Keys.sha is deterministic and null-normalizing") {
+    val df = Seq(("A ", "b"), ("A ", "b"), (null, "b")).toDF("x", "y")
+    val keys = df.select(Keys.sha(lower(trim(col("x"))), col("y"))).as[String].collect()
+    assert(keys(0) == keys(1))
+    assert(keys(2) != keys(0))
+    assert(keys.forall(_.length == 64))
+  }
+
+  test("SizedWrite.optimalPartitions follows the reference formula") {
+    val MB = 1024L * 1024
+    assert(SizedWrite.optimalPartitions(0) == 1)
+    assert(SizedWrite.optimalPartitions(63 * MB) == 1)          // < 64MB → 1
+    assert(SizedWrite.optimalPartitions(65 * MB) == 1)          // ceil(65/128)=1
+    assert(SizedWrite.optimalPartitions(129 * MB) == 2)
+    assert(SizedWrite.optimalPartitions(128L * 100 * MB) == 100)
+    assert(SizedWrite.optimalPartitions(128L * 1000 * MB) == 100) // cap
+  }
+
+  test("SizedWrite.writeSized compacts small output to one file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    val df = (1 to 1000).toDF("n").withColumn("p", col("n") % 2)
+    SizedWrite.writeSized(df, s"$tmp/tmp", s"$tmp/final", Seq("p"))
+    val files = new java.io.File(s"$tmp/final").listFiles
+      .filter(_.getName.startsWith("p="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2) // 1 coalesced task × 2 partition values
+    assert(!new java.io.File(s"$tmp/tmp").exists) // temp cleaned up
+    val back = spark.read.parquet(s"$tmp/final")
+    assert(back.count() == 1000)
+  }
+}
