@@ -20,7 +20,23 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir) else
+      spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read nanos as raw longs (legacy conf) and
+    * integer-divide to microseconds — the fixture generator emits
+    * µs-granular values, so the narrowing is lossless. `div` (integral
+    * divide) is load-bearing: a double-typed `/` on ~1.7e18 ns loses
+    * precision past 2^53. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else raw
+  }
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

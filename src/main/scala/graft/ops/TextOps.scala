@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline primitives for large-scale corpus processing:
@@ -68,6 +68,24 @@ object TextOps {
             floor(h / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
         acc + when(vote > 0, floor(pow(lit(2.0), b)).cast("long")).otherwise(0L)
       })
+
+  /** SimHash at corpus scale: explode token hashes and compute the
+    * per-bit votes as codegen'd grouped sums (one shuffle on the doc
+    * id) instead of the row-local nested fold, which runs interpreted
+    * per (bit × token). Same math as [[simhash]], bit-identical. */
+  def simhashGrouped(df: DataFrame, idCol: String, hashesCol: String,
+      nBits: Int): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(hashesCol)).as("__h"))
+    val votes = (0 until nBits).map { b =>
+      sum(when(floor(col("__h") / math.pow(2, b)).cast("long") % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b")
+    }
+    val sim = (0 until nBits)
+      .map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sim.as("sim"))
+  }
 
   /** Exact content fingerprint: md5 hex of the canonical text. */
   def fingerprintMd5(c: Column): Column = md5(normText(c))

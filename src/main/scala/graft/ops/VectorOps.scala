@@ -28,6 +28,93 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Fixed-width dot product unrolled into a codegen'd left-assoc sum —
+    * higher-order `aggregate` lambdas run interpreted per element,
+    * which dominates pairwise-similarity hot loops; the unrolled form
+    * stays inside whole-stage codegen (same accumulation order, so
+    * bit-identical results). */
+  def dotUnrolled(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i => element_at(a, i) * element_at(b, i))
+      .reduceLeft(_ + _)
+
+  /** v / ||v||, computed once per row so pairwise cosine needs only a
+    * dot product. */
+  def normalized(v: Column, dims: Int): Column = {
+    val n = sqrt((1 to dims).map(i => element_at(v, i) * element_at(v, i))
+      .reduceLeft(_ + _))
+    transform(v, x => x / n)
+  }
+
+  /** array<float> → array<double>, unrolled (codegen'd; `transform`
+    * runs interpreted). */
+  def toDoublesUnrolled(c: Column, dims: Int): Column =
+    array((1 to dims).map(i => element_at(c, i).cast("double")): _*)
+
+  def l2normUnrolled(c: Column, dims: Int): Column =
+    sqrt(dotUnrolled(c, c, dims))
+
+  /** Append `outCol` = inCol / ||inCol|| (after exact float→double
+    * widening), built as THREE stacked projections over plain
+    * attributes. Shape is load-bearing: a single nested expression
+    * inlines its subtree into every one of the 128 `element_at`
+    * references (the optimizer cannot de-duplicate it), re-widening
+    * the array once per term; separate projections make each step an
+    * attribute reference, CollapseProject keeps expensive producers
+    * un-inlined, and the whole stack stays in whole-stage codegen.
+    * Arithmetic (left-assoc sums, per-element divide) is unchanged,
+    * so results are bit-identical to [[normalized]]. */
+  def withNormalized(df: org.apache.spark.sql.DataFrame, inCol: String,
+      outCol: String, dims: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__v", toDoublesUnrolled(col(inCol), dims))
+      .withColumn("__nrm", l2normUnrolled(col("__v"), dims))
+      .withColumn(outCol,
+        array((1 to dims).map(i => element_at(col("__v"), i) / col("__nrm")): _*))
+      .drop("__v", "__nrm")
+
+  /** All-pairs cosine ≥ threshold (basis points) over pre-normalized
+    * vectors, as a broadcast + per-partition primitive-array kernel.
+    *
+    * Tried declaratively twice: a nested-loop join materializing all
+    * pairs (row-copy bound), then the threshold pushed into the join
+    * condition (interpreted per-pair expression eval) — both ~10-20×
+    * slower than this loop at 2k vectors. All-pairs similarity is a
+    * genuine imperative hot loop, so this is the sanctioned
+    * mapPartitions case; at 100 TB the corpus side is LSH-blocked
+    * first (see lshBucket) so the broadcast side stays bucket-sized.
+    *
+    * Arithmetic parity with the declarative form: the while-loop is
+    * the same left-assoc accumulation as dotUnrolled, and rounding is
+    * exact-decimal HALF_UP (what Spark's `round` does). A pair passes
+    * iff its exact cos×10000 ≥ threshold − 0.5, which is precisely
+    * "HALF_UP(cos_bp) ≥ threshold".
+    */
+  def allPairsCosineAtLeast(
+      df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      thresholdBp: Long, parallelism: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Double])]
+    val side = spark.sparkContext.broadcast(ds.collect())
+    val cut = thresholdBp - 0.5
+    ds.repartition(parallelism).mapPartitions { it =>
+      val all = side.value
+      it.flatMap { case (ida, va) =>
+        all.iterator.collect { case (idb, vb) if idb > ida && {
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          s * 10000 >= cut
+        } =>
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          val bp = new java.math.BigDecimal(s * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          (ida, idb, bp)
+        }
+      }
+    }.toDF(s"${idCol}_a", s"${idCol}_b", "cos_bp")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
     * an LCG step on the index, mapped to [-0.5, 0.5). Integer part is
     * exact in any engine; the division by 2^31 is a power-of-two scale

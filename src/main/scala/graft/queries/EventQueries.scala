@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.Multimodal
+import graft.streaming.EventOps
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over `events`, the multimodal decode boundary
+  * over `documents`, and the grouping-sets family over `lineitem`. */
+object EventQueries {
+  import Tables.load
+
+  /** Tumbling 1-hour event-time window counts — the batch face of the
+    * shared batch/streaming plan (EventOps.windowedCounts; streaming
+    * twin exercised in StreamingSpec). */
+  val qEventsWindow = Q(
+    "q_events_window",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      EventOps.windowedCounts(load(spark, dir, "events"))
+    },
+    Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2"""),
+    "Tumbling event-time window aggregation (batch/streaming shared plan)")
+
+  /** Sessionization (30-min inactivity gap) via lag + running-sum
+    * windows — batch equivalent of the mapGroupsWithState streaming
+    * op; one shuffle on user_id. */
+  val qEventsSessionize = Q(
+    "q_events_sessionize",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      EventOps.sessionizeBatch(load(spark, dir, "events"))
+    },
+    Some("""WITH g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    s AS (
+      SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g)
+    SELECT user_id, session_seq, min(ts) AS session_start,
+      max(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq"""),
+    "Sessionization by inactivity gap (batch twin of stateful streaming)")
+
+  /** Multimodal decode boundary: opaque binary payloads + typed
+    * metadata through the batched mapPartitions stub decoder
+    * (Multimodal.decodeFeatures). The oracle reproduces the
+    * deterministic stub from byte length + md5. */
+  val qMultimodalDecode = Q(
+    "q_multimodal_decode",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val packed = Multimodal.packText(load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(packed.as[Multimodal.MediaRow]).toDF()
+    },
+    Some("""SELECT doc_id, 'text/plain' AS mime,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      CAST(1 + octet_length(encode(text)) % 509 AS INTEGER) AS width,
+      CAST(1 + octet_length(encode(text)) % 251 AS INTEGER) AS height,
+      3 AS channels,
+      CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+      FROM documents"""),
+    "Multimodal: binary payload + typed metadata via batched stub decode")
+
+  /** ROLLUP hierarchy totals (grouping-sets family). */
+  val qRollupAgg = Q(
+    "q_rollup_agg",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+    "ROLLUP aggregation (grouping-sets family)")
+
+  /** CUBE over two dimensions. */
+  val qCubeAgg = Q(
+    "q_cube_agg",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
+    "CUBE aggregation (grouping-sets family)")
+
+  val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
+    qRollupAgg, qCubeAgg)
+}

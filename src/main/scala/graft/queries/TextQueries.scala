@@ -288,9 +288,11 @@ object TextQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val d = load(spark, dir, "documents")
-      val base = d.select(col("doc_id"),
-        simhash(transform(array_distinct(words(col("text"))), w => stringHash(w)), 32)
-          .as("sim"))
+      val base = simhashGrouped(
+        d.select(col("doc_id"),
+          transform(array_distinct(words(col("text"))), w => stringHash(w))
+            .as("wh")),
+        "doc_id", "wh", 32)
       val bands = base.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),

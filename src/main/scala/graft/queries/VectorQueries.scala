@@ -6,14 +6,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search + embedding near-dedup over `embeddings`
-  * (array<float>, 64-dim). Cosine math is done on exact float→double
-  * widenings with a fixed left-to-right accumulation order, so the
-  * DuckDB oracle reproduces the doubles bit-for-bit; outputs carry
-  * ranks / integer basis points, never raw doubles. */
+  * (array<float>, 64-dim). Vectors are L2-normalized once per row and
+  * pairwise work is a single unrolled (codegen'd) dot product — the
+  * shape that survives a 100× corpus: normalize is row-local, the
+  * query side broadcasts, and the only quadratic term is dot products
+  * on pre-normalized vectors. The DuckDB oracles mirror the exact
+  * accumulation order, and outputs carry ranks / integer basis points,
+  * never raw doubles. */
 object VectorQueries {
   import Tables.load
 
   private val Dims = 64
+
+  /** Unrolled `x[1]*y[1] + ... + x[n]*y[n]` as DuckDB SQL (mirrors
+    * dotUnrolled's left-assoc order). */
+  private def sqlDot(x: String, y: String): String =
+    (1 to Dims).map(i => s"$x[$i]*$y[$i]").mkString(" + ")
+
+  private def sqlNormalizedCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, [x / sqrt(${sqlDot("v", "v")}) FOR x IN v] AS vn FROM e)"""
 
   /** Brute-force cosine top-k (the exact baseline an ANN variant is
     * judged against). Scale: the query set is broadcast; the corpus is
@@ -22,27 +34,23 @@ object VectorQueries {
     "q_ann_cosine_topk",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = load(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+      val e = withNormalized(load(spark, dir, "embeddings"), "embedding", "vn", Dims)
+        .select(col("vec_id"), col("vn"))
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("vn").as("qn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("cos", dotUnrolled(col("qn"), col("vn"), Dims))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
     },
-    Some("""WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    Some(s"""WITH $sqlNormalizedCte,
+    q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0),
     c AS (
-      SELECT q.q_id, e.vec_id,
-        list_sum([qv[i] * v[i] FOR i IN generate_series(1, 64)])
-          / (sqrt(list_sum([qv[i] * qv[i] FOR i IN generate_series(1, 64)]))
-           * sqrt(list_sum([v[i] * v[i] FOR i IN generate_series(1, 64)]))) AS cos
-      FROM e JOIN q ON e.vec_id != q.q_id)
+      SELECT q.q_id, n.vec_id, ${sqlDot("qn", "vn")} AS cos
+      FROM n JOIN q ON n.vec_id != q.q_id)
     SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
       SELECT q_id, vec_id,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
@@ -86,23 +94,18 @@ object VectorQueries {
     "q_dedup_emb_cosine",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = load(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("cos_bp", round(cosine(col("va"), col("vb")) * 10000).cast("long"))
-        .filter(col("cos_bp") >= 4500)
-        .select("vec_a", "vec_b", "cos_bp")
+      val e = withNormalized(load(spark, dir, "embeddings"), "embedding", "vn", Dims)
+        .select(col("vec_id"), col("vn"))
+      val par = spark.sparkContext.defaultParallelism
+      allPairsCosineAtLeast(e, "vec_id", "vn", 4500L, par)
+        .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
+          col("cos_bp"))
     },
-    Some("""WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some(s"""WITH $sqlNormalizedCte,
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        CAST(round(10000 * list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)])
-          / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN generate_series(1, 64)]))
-           * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN generate_series(1, 64)])))) AS BIGINT) AS cos_bp
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        CAST(round(10000 * (${sqlDot("a.vn", "b.vn")})) AS BIGINT) AS cos_bp
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, cos_bp FROM p WHERE cos_bp >= 4500"""),
     "Near-dedup: embedding cosine pairs (all-pairs exact at test scale)")
 
