@@ -17,6 +17,7 @@ object Tables {
   def ensureConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.VectorExpressions.register(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point for cluster deployments:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects the native vector expressions into every session built from
+  * that config (the in-process path uses VectorExpressions.register).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import VectorExpressions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String) =
+      new ExpressionInfo(VectorExpressions.getClass.getCanonicalName, name)
+    ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_scale_div"),
+      info("graft_scale_div"),
+      (es: Seq[Expression]) => ArrayScaleDivide(es(0), es(1))))
+  }
+}

@@ -71,6 +71,23 @@ object VectorOps {
         array((1 to dims).map(i => element_at(col("__v"), i) / col("__nrm")): _*))
       .drop("__v", "__nrm")
 
+  /** Native-expression dot product (graft.functions.ArrayDotProduct):
+    * one codegen'd loop over the ArrayData buffers instead of a
+    * 129-node unrolled tree. Same left-assoc accumulation →
+    * bit-identical to [[dotUnrolled]]. Requires
+    * VectorExpressions.register (done in Tables.ensureConf). */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Native normalized projection: vn = v / sqrt(dot(v, v)), two
+    * stacked projections, no unrolled element_at chains. Accepts the
+    * raw float array directly (widening happens inside the
+    * expressions, exactly). */
+  def withNormalizedNative(df: org.apache.spark.sql.DataFrame, inCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__nrm", sqrt(call_function("graft_dot", col(inCol), col(inCol))))
+      .withColumn(outCol, call_function("graft_scale_div", col(inCol), col("__nrm")))
+      .drop("__nrm")
+
   /** All-pairs cosine ≥ threshold (basis points) over pre-normalized
     * vectors, as a broadcast + per-partition primitive-array kernel.
     *

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.TextOps.words
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics operator family beyond the reference's ETL
+  * surface: pivot, running windows, set operations, as-of join,
+  * skew-salted join, global term top-k, exact median, and approximate
+  * sketches. Every query is deterministic (explicit tiebreaks, integer
+  * cents instead of raw doubles) so the DuckDB oracle hash-compare
+  * holds; sketch queries carry no oracle (engine-specific estimates)
+  * and get the driver's weaker rows-only check. */
+object AnalyticsQueries {
+  import Tables.load
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    round(col(c) * 100).cast("long")
+
+  /** Pivot: order counts by priority × status. Pivot values are
+    * DECLARED, not discovered — at 100 TB a value-discovery pass is a
+    * full extra scan, and fixed columns keep the plan static. */
+  val qPivotStatus = Q(
+    "q_pivot_status",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""SELECT o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority"""),
+    "Pivot with declared value columns (no discovery scan)")
+
+  /** Running-window analytics per customer: row_number, running sum
+    * (explicit ROWS frame — the default RANGE frame ties to peer rows
+    * and is both slower and order-ambiguous), and lag-based gap. One
+    * shuffle on o_custkey serves all three. */
+  val qWindowRunning = Q(
+    "q_window_running",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(cents("o_totalprice")).over(wRows).as("cum_cents"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("gap_days"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      row_number() OVER w AS rn,
+      SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS cum_cents,
+      datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+    "Running windows: row_number + cumulative sum + lag gap, one shuffle")
+
+  /** INTERSECT / EXCEPT: customers ordering in both 1995 and 1996 vs
+    * only 1995. Both set ops are distinct-semantics (hash aggregate +
+    * shuffle on the full row). */
+  val qSetOps = Q(
+    "q_set_ops",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+      def ofYear(y: Int) =
+        o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      ofYear(1995).intersect(ofYear(1996)).withColumn("tag", lit("both"))
+        .unionByName(
+          ofYear(1995).except(ofYear(1996)).withColumn("tag", lit("only_1995")))
+    },
+    Some("""SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      UNION ALL
+      SELECT o_custkey, 'only_1995' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)"""),
+    "Set operations: INTERSECT + EXCEPT with tags")
+
+  /** As-of join via window, the shuffle-once formulation: for every
+    * click, the user's most recent purchase at-or-before it (order
+    * (ts, event_id), ROWS frame). Equivalent to ASOF JOIN but with one
+    * hash partition on user_id and no per-row probe — the shape that
+    * scales; both engines run the identical window so tie semantics
+    * match by construction. */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(spark, dir, "events")
+        .withColumn("last_purchase_ts",
+          max(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+    },
+    Some("""SELECT event_id, user_id, ts, last_purchase_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+        max(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+      FROM events) WHERE event_type = 'click'"""),
+    "As-of join (latest prior match) via single-shuffle window")
+
+  /** Skew-salted join: lineitem→orders with an 8-way deterministic
+    * salt — the big side salts by l_linenumber, the small side
+    * replicates 8× — then aggregates. Result is identical to the plain
+    * join (the oracle IS the plain join); the salt spreads one hot
+    * orderkey over 8 reducers at scale. */
+  val qJoinSalted = Q(
+    "q_join_salted",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val SaltN = 8
+      val l = load(spark, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber"), lit(SaltN)).cast("int"))
+      val o = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(SaltN - 1))))
+      l.join(o,
+          l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents("l_extendedprice")).as("price_cents"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""),
+    "Skew handling: salted join equals the plain join it replaces")
+
+  /** Global top-20 corpus terms: explode → partial-agg count (map-side
+    * combine) → global top-k with full tiebreak. */
+  val qTextTopTerms = Q(
+    "q_text_top_terms",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "documents")
+        .select(explode(words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)
+    },
+    Some("""SELECT term, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0
+      GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"""),
+    "Text analysis: global top-k terms (explode + combine + ordered limit)")
+
+  /** Exact median order value per priority, integer-only: pick the
+    * middle row(s) by row_number vs count, sum them, double the single
+    * middle when the group is odd — no floating point anywhere, so the
+    * output (2×median in cents) hash-compares exactly. */
+  val qMedianWindow = Q(
+    "q_median_window",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(cents("o_totalprice").asc, col("o_orderkey").asc)
+      val wAll = Window.partitionBy("o_orderpriority")
+      load(spark, dir, "orders")
+        .select(col("o_orderpriority"), cents("o_totalprice").as("c"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+        // `div`, not `/`: Column./ is double division, and for even n
+        // the x.5 midpoint would match no row_number at all.
+        .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+        .groupBy("o_orderpriority")
+        .agg((when(count(lit(1)) === 1, sum(col("c")) * 2)
+          .otherwise(sum(col("c")))).as("median_cents_x2"))
+    },
+    Some("""WITH r AS (
+      SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS c,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey) AS rn,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+      CASE WHEN COUNT(*) = 1 THEN SUM(c) * 2 ELSE SUM(c) END AS median_cents_x2
+    FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY o_orderpriority"""),
+    "Exact median via window ranks, integer-only output")
+
+  /** Approximate sketches: HyperLogLog distinct counts and
+    * approx-percentile per priority. Estimates are engine-specific, so
+    * no cross-engine oracle — the driver records the rows-only check.
+    * This is the 100 TB path for distinct/quantile: mergeable sketch
+    * state, no exact distinct shuffle. */
+  val qApproxSketches = Q(
+    "q_approx_sketches",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          percentile_approx(cents("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_median_cents"))
+    },
+    None,
+    "Approximate aggregates: HLL distinct + approx percentile (sketch path)")
+
+  val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
+    qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches)
+}

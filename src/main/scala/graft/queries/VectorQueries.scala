@@ -34,14 +34,14 @@ object VectorQueries {
     "q_ann_cosine_topk",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = withNormalized(load(spark, dir, "embeddings"), "embedding", "vn", Dims)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("vn").as("qn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos", dotUnrolled(col("qn"), col("vn"), Dims))
+        .withColumn("cos", dotNative(col("qn"), col("vn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -94,7 +94,7 @@ object VectorQueries {
     "q_dedup_emb_cosine",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = withNormalized(load(spark, dir, "embeddings"), "embedding", "vn", Dims)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
       val par = spark.sparkContext.defaultParallelism
       allPairsCosineAtLeast(e, "vec_id", "vn", 4500L, par)

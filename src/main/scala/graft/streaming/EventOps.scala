@@ -53,20 +53,29 @@ object EventOps {
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long)
-  private final case class SessionState(start: Long, last: Long, n: Long)
+  /** Public: Catalyst's generated encoder code must see the ctor. */
+  final case class SessionState(start: Long, last: Long, n: Long)
 
-  /** Stateful streaming sessionization via mapGroupsWithState with a
-    * processing-time timeout: state per user is O(1); a timeout (or a
-    * gap observed within a batch) closes the session. Emits closed
-    * sessions only. */
-  def sessionizeStreaming(events: Dataset[Event], gapMinutes: Int = 30)
+  /** Stateful streaming sessionization via mapGroupsWithState: state
+    * per user is O(1); a timeout (or a gap observed within a batch)
+    * closes the session. Emits closed sessions only.
+    *
+    * `timeoutConf` defaults to ProcessingTimeTimeout for production
+    * (idle users' sessions eventually close). Tests pass NoTimeout:
+    * with timeouts registered, the zero-interval trigger runs no-data
+    * micro-batches continuously to service timers, so
+    * `processAllAvailable` never observes quiescence and blocks
+    * forever. */
+  def sessionizeStreaming(events: Dataset[Event], gapMinutes: Int = 30,
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val useTimeout = timeoutConf != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
@@ -91,7 +100,7 @@ object EventOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
             closed.reverseIterator
           }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the batch event operators: the same
+  * windowed-count plan run incrementally with a watermark, and the
+  * stateful flatMapGroupsWithState sessionizer. MemoryStream +
+  * processAllAvailable gives deterministic micro-batch boundaries. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streamingWindowedCounts matches the batch plan on the same data") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventOps.Event]
+    val events = Seq(
+      EventOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      EventOps.Event(2, ts("2024-01-01 00:40:00"), 1, "click", 2.0),
+      EventOps.Event(3, ts("2024-01-01 01:05:00"), 2, "view", 3.0),
+      EventOps.Event(4, ts("2024-01-01 01:15:00"), 1, "click", 4.5))
+    in.addData(events: _*) // before start: AvailableNow snapshots offsets
+    val q = EventOps.streamingWindowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events", "value_cents")
+    val want = EventOps.windowedCounts(events.toDF())
+      .select("window_start", "event_type", "n_events", "value_cents")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() === 3)
+  }
+
+  test("sessionizeStreaming closes sessions on gap within a batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventOps.Event]
+    val q = EventOps.sessionizeStreaming(in.toDS(), gapMinutes = 30,
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 2-hour gap
+    // opens a second session -> first session closes with n=2.
+    in.addData(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      EventOps.Event(2, ts("2024-01-01 00:10:00"), 1, "view", 0.0),
+      EventOps.Event(3, ts("2024-01-01 02:10:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[EventOps.SessionOut].collect()
+    assert(closed.toSeq === Seq(
+      EventOps.SessionOut(1, ts("2024-01-01 00:00:00"), 2)))
+    q.stop()
+  }
+
+  test("sessionizeStreaming emits sessions across batches and users") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventOps.Event]
+    val q = EventOps.sessionizeStreaming(in.toDS(), gapMinutes = 30,
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    in.addData(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 0.0),
+      EventOps.Event(2, ts("2024-01-01 00:05:00"), 8, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 7 continues within gap; user 8 jumps past the gap
+    in.addData(
+      EventOps.Event(3, ts("2024-01-01 00:20:00"), 7, "click", 0.0),
+      EventOps.Event(4, ts("2024-01-01 03:00:00"), 8, "click", 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions2").as[EventOps.SessionOut].collect()
+    // only user 8's first session has closed (gap observed in-batch)
+    assert(closed.toSeq === Seq(
+      EventOps.SessionOut(8, ts("2024-01-01 00:05:00"), 1)))
+    q.stop()
+  }
+
+  test("batch sessionizeBatch agrees with the session boundaries above") {
+    val events = Seq(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      EventOps.Event(2, ts("2024-01-01 00:10:00"), 1, "view", 0.0),
+      EventOps.Event(3, ts("2024-01-01 02:10:00"), 1, "click", 0.0)).toDF()
+    val sessions = EventOps.sessionizeBatch(events)
+      .orderBy("user_id", "session_seq")
+      .select("session_start", "n_events").as[(java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(sessions === Seq(
+      (ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-01 02:10:00"), 1L)))
+  }
+}
