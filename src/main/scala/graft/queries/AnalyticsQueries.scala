@@ -218,6 +218,56 @@ object AnalyticsQueries {
     None,
     "Approximate aggregates: HLL distinct + approx percentile (sketch path)")
 
+  /** Semi-structured JSON: typed `from_json` on the events `props`
+    * column, then grouped aggregates over the extracted field. The
+    * schema is declared (no sampling pass), so the parse is a
+    * row-local codegen'd expression. */
+  val qEventsJson = Q(
+    "q_events_json",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("j.k")).as("sum_k"), max(col("j.k")).as("max_k"),
+          count(when(col("j.k").isNull, 1)).as("n_unparsed"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+      COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_unparsed
+      FROM events GROUP BY event_type"""),
+    "Semi-structured: declared-schema JSON parse + grouped aggregates")
+
+  /** Ranking-function family over one window: rank, dense_rank,
+    * ntile, percent_rank (in basis points — same doubles in both
+    * engines, but integers hash-compare robustly). */
+  val qWindowRanks = Q(
+    "q_window_ranks",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(cents("o_totalprice").desc, col("o_orderkey").asc)
+      load(spark, dir, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w) * 10000).cast("long").as("pct_rank_bp"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4) OVER w AS quartile,
+      CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_bp
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC)"""),
+    "Ranking family: rank / dense_rank / ntile / percent_rank")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
-    qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches)
+    qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
+    qEventsJson, qWindowRanks)
 }

@@ -176,8 +176,15 @@ object TextQueries {
       val d = load(spark, dir, "documents")
       val base = d.select(col("doc_id"),
         array_distinct(shingles3(words(col("text")))).as("sh"))
+      // join key = stringHash(shingle): an 8-byte long instead of a
+      // ~25-byte string — smaller exchange, cheaper hash probes; the
+      // oracle hashes identically so collisions (if any) agree.
+      // persist: the self-join + regroup would otherwise re-derive the
+      // shingle index 3× (interpreted transform dominates the query).
       val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("s"))
+        explode(col("sh")).as("s0"))
+        .select(col("doc_id"), col("n"), stringHash(col("s0")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
       val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s"))
       a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -197,7 +204,9 @@ object TextQueries {
       FROM (SELECT doc_id,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents)),
-    e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+    e0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s0 FROM d),
+    e AS (SELECT doc_id, n,
+      CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s FROM e0),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
         COUNT(*) AS shared
@@ -228,6 +237,9 @@ object TextQueries {
             concat_ws("_", element_at(col("sig"), 2 * j + 1),
               element_at(col("sig"), 2 * j + 2)).as("key"))): _*)).as("b"))
         .select(col("doc_id"), col("hs"), col("b.band"), col("b.key"))
+        // self-joined below; persist so the signature derivation
+        // (8 interpreted MinHash folds per doc) runs once, not twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("band"), col("key"))
       val b = bands.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -299,6 +311,9 @@ object TextQueries {
             (floor(col("sim") / math.pow(2, 8 * j).toLong).cast("long") % 256)
               .as("nib"))): _*)).as("b"))
         .select(col("doc_id"), col("sim"), col("b.band"), col("b.nib"))
+        // self-joined below; persist so the grouped bit-vote signature
+        // (explode + 32-column aggregate) runs once, not twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
         col("band"), col("nib"))
       val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
