@@ -354,7 +354,83 @@ object TextQueries {
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1"""),
     "Near-dedup: 32-bit SimHash + byte-band blocking + Hamming filter")
 
+  /** Composite training-data pipeline — the flagship LLM-corpus
+    * chain: quality-score → filter (≥ 5000 bp) → language-ID →
+    * exact-dedup (min doc per md5 fingerprint) → per-language corpus
+    * stats. Everything row-local until the final fingerprint window +
+    * language aggregate (two shuffles total). */
+  val qCorpusPipeline = Q(
+    "q_corpus_pipeline",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val w = words(col("text"))
+      val nW = size(w)
+      val nC = length(col("text"))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val stops = vocabHits(w, Stop)
+      val lenScore = least(nW.cast("double") / 200.0, lit(1.0))
+      val punctScore = lit(1.0) - least(punct.cast("double") / greatest(nC, lit(1)), lit(1.0))
+      val stopScore = least(stops.cast("double") * 10.0 / greatest(nW, lit(1)), lit(1.0))
+      val sDe = vocabHits(w, Seq("der", "die", "das", "und", "ist", "nicht"))
+      val sEn = vocabHits(w, Seq("the", "a", "and", "of", "is", "to"))
+      val sEs = vocabHits(w, Seq("el", "la", "los", "y", "es", "de"))
+      val sFr = vocabHits(w, Seq("le", "la", "les", "et", "est", "de"))
+      val sZh = nonAsciiCount(col("text"))
+      val m = greatest(sDe, sEn, sEs, sFr, sZh)
+      val scored = d.select(col("doc_id"), nW.as("n_tokens"),
+        round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000)
+          .cast("long").as("quality_bp"),
+        when(sDe === m, "de").when(sEn === m, "en").when(sEs === m, "es")
+          .when(sFr === m, "fr").otherwise("zh").as("pred_lang"),
+        fingerprintMd5(col("text")).as("fp"))
+      val kept = scored.filter(col("quality_bp") >= 5000)
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id").asc))
+      kept.withColumn("rn", rn).filter(col("rn") === 1)
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("quality_bp")).as("sum_quality_bp"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+        length(text) AS n_chars,
+        length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[ -~]', '', 'g')) AS s_zh
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(w) AS n_tokens,
+        CAST(round((least(len(w)/200.0, 1.0) * 0.4
+          + (1.0 - least(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 1.0)) * 0.3
+          + least(len(list_filter(w, t -> t IN ('the','a','and','of','is','to')))*10.0
+              / greatest(len(w),1), 1.0) * 0.3) * 10000) AS BIGINT) AS quality_bp,
+        len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        len(list_filter(w, t -> t IN ('the','a','and','of','is','to'))) AS s_en,
+        len(list_filter(w, t -> t IN ('el','la','los','y','es','de'))) AS s_es,
+        len(list_filter(w, t -> t IN ('le','la','les','et','est','de'))) AS s_fr,
+        s_zh,
+        md5(array_to_string(w, ' ')) AS fp
+      FROM s),
+    kept AS (
+      SELECT *,
+        CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM f WHERE quality_bp >= 5000),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT pred_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      SUM(quality_bp) AS sum_quality_bp
+    FROM dedup GROUP BY pred_lang"""),
+    "Flagship corpus pipeline: quality filter → lang-ID → dedup → stats")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash)
+    qDedupSimhash, qCorpusPipeline)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests: the properties that make these plans
+  * scale (broadcasts, rank-limit pushdown, column pruning at the scan)
+  * are asserted so a refactor that silently loses one fails CI, not a
+  * cluster run. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+  }
+
+  test("flagship entry uses broadcast hash joins for all dims") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_join_broadcast_left broadcasts the lookup side") {
+    assert(planString("q_join_broadcast_left").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_global fuses sort+limit into TakeOrderedAndProject") {
+    assert(planString("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_ann_cosine_topk pushes rank<=k into WindowGroupLimit") {
+    assert(planString("q_ann_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q1 scan prunes lineitem to the referenced columns only") {
+    val fs = scans("q1_pricing_summary")
+    assert(fs.nonEmpty)
+    val readCols = fs.map(_.requiredSchema.fieldNames.toSet).reduce(_ ++ _)
+    // the full lineitem table is 11 columns; the query needs 4
+    assert(readCols.size <= 5, s"read too many columns: $readCols")
+  }
+
+  test("q_join_broadcast_left pushes join-key IsNotNull to the scan") {
+    val fs = scans("q_join_broadcast_left")
+    assert(fs.nonEmpty)
+    assert(fs.exists(_.metadata.get("PushedFilters").exists(_ != "[]")))
+  }
+
+  test("q_counts aggregates with map-side partial aggregation") {
+    val plan = planString("q_counts")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+}
