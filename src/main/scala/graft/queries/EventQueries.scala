@@ -101,6 +101,33 @@ object EventQueries {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
     "CUBE aggregation (grouping-sets family)")
 
+  /** Rolling 1-hour RANGE window per user (event-time, second
+    * granularity): count + value sum over [t-3599s, t]. RANGE frames
+    * include peer rows by definition, so same-second ties resolve
+    * identically in any engine — no tiebreak needed. One shuffle on
+    * user_id. */
+  val qEventsRolling = Q(
+    "q_events_rolling",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+      load(spark, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_events_1h"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("value_cents_1h"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+      COUNT(*) OVER w AS n_events_1h,
+      SUM(CAST(round(value*100) AS BIGINT)) OVER w AS value_cents_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""),
+    "Rolling event-time RANGE window: 1-hour trailing count + sum")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
-    qRollupAgg, qCubeAgg)
+    qRollupAgg, qCubeAgg, qEventsRolling)
 }

@@ -71,9 +71,13 @@ object JoinQueries {
       Tables.ensureConf(spark)
       val p = load(spark, dir, "part")
       val k = col("p_partkey")
+      // both sides feed 3-4 joins in the cascade below; persist so the
+      // distinct shuffle (dv) and the corruption projection (obs) run
+      // once instead of per consumer
       val dv = p.select(lower(trim(col("p_name"))).as("model_norm"))
         .distinct()
         .select(sha2(col("model_norm"), 256).as("model_id"), col("model_norm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corrupted = when(k % 5 === 0, concat(upper(col("p_name")), lit(" ")))
         .when(k % 5 === 1,
           substring(col("p_name"), lit(1), greatest(length(col("p_name")) - 2, lit(0))))
@@ -81,6 +85,7 @@ object JoinQueries {
         .when(k % 5 === 3, reverse(col("p_name")))
         .otherwise(col("p_name"))
       val obs = p.select(k.as("obs_id"), lower(trim(corrupted)).as("obs_norm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val res = Resolution.resolve(obs, "obs_id", "obs_norm", dv, "model_id", "model_norm")
       obs.join(res, Seq("obs_id"), "left")
         .select("obs_id", "model_id", "lev_dist", "is_fuzzy")

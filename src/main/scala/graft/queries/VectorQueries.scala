@@ -109,5 +109,52 @@ object VectorQueries {
     SELECT vec_a, vec_b, cos_bp FROM p WHERE cos_bp >= 4500"""),
     "Near-dedup: embedding cosine pairs (all-pairs exact at test scale)")
 
-  val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine)
+  /** IVF-style ANN: the scale path made concrete. Vectors are
+    * LSH-bucketed (coarse quantizer); each query probes only its own
+    * bucket, so per-query work is bucket-sized, not corpus-sized.
+    * Same output shape as the exact baseline (q_ann_cosine_topk) —
+    * recall loss is the documented trade; candidates and ranks are
+    * fully deterministic, so the oracle is exact. */
+  val qAnnIvfTopk = Q(
+    "q_ann_ivf_topk",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"), col("vn"))
+        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("vn").as("qn"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotNative(col("qn"), col("vn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    Some(s"""WITH $sqlNormalizedCte,
+    pp AS (
+      SELECT vec_id, p,
+        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
+          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
+      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM pp GROUP BY vec_id),
+    nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, vn AS qn, bucket FROM nb WHERE vec_id % 50 = 0),
+    c AS (
+      SELECT q.q_id, nb.vec_id, ${sqlDot("qn", "vn")} AS cos
+      FROM nb JOIN q USING (bucket) WHERE nb.vec_id != q.q_id)
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
+      SELECT q_id, vec_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM c) WHERE rank <= 10"""),
+    "Similarity search scale path: IVF/LSH-bucketed approximate top-k")
+
+  val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
+    qAnnIvfTopk)
 }
