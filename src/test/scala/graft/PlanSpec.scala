@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
     assert(fs.exists(_.metadata.get("PushedFilters").exists(_ != "[]")))
   }
 
+  test("partitioned writes enable partition pruning on read-back") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    try {
+      Tables.load(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      val back = spark.read.parquet(tmp).filter(col("o_year") === 1995)
+      val scan = back.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.get
+      // the year predicate must land in PartitionFilters (pruned
+      // directories), not in data filters (full scan + row filter)
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "o_year")))
+      assert(back.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q_counts aggregates with map-side partial aggregation") {
     val plan = planString("q_counts")
     // two HashAggregate nodes (partial + final) around one exchange

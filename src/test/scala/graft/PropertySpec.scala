@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{Dedup, Keys}
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.3): algebraic laws the operators must
+  * satisfy on arbitrary inputs, not just fixtures. Plain scalacheck
+  * generators sampled under fixed seeds (scalatestplus glue is not in
+  * the offline dependency cache; deterministic seeds are better for
+  * CI anyway). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 12)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(p => f(p._1, p._2))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val rows = Gen.listOfN(40,
+    Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 50L), word))
+
+  test("latestPerKey is idempotent and keeps exactly one row per key") {
+    forAll(rows) { rs =>
+      whenever(rs.nonEmpty) {
+        val df = rs.toDF("k", "v", "s")
+        val once = Dedup.latestPerKey(df, Seq("k"),
+          Seq(col("v").desc, col("s").desc))
+        val twice = Dedup.latestPerKey(once, Seq("k"),
+          Seq(col("v").desc, col("s").desc))
+        val a = once.collect().toSet
+        assert(a === twice.collect().toSet)
+        assert(once.select("k").distinct().count() === once.count())
+        assert(once.select("k").distinct().count()
+          === df.select("k").distinct().count())
+      }
+    }
+  }
+
+  test("latestPerKey picks the ordering maximum per key") {
+    forAll(rows) { rs =>
+      whenever(rs.nonEmpty) {
+        val df = rs.toDF("k", "v", "s")
+        val got = Dedup.latestPerKey(df, Seq("k"), Seq(col("v").desc, col("s").desc))
+          .select("k", "v", "s").as[(Long, Long, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val want = rs.groupBy(_._1).map { case (k, g) =>
+          k -> g.map(r => (r._2, r._3)).max
+        }
+        assert(got === want)
+      }
+    }
+  }
+
+  test("Keys.sha is deterministic and order-sensitive") {
+    forAll(word, word) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(Keys.sha(col("a"), col("b")).as("h1"),
+          Keys.sha(col("a"), col("b")).as("h2"),
+          Keys.sha(col("b"), col("a")).as("h3"))
+      val r = df.as[(String, String, String)].head()
+      assert(r._1 === r._2)
+      assert(r._1.matches("[0-9a-f]{64}"))
+      if (a != b) assert(r._1 !== r._3)
+    }
+  }
+
+  test("unionByName(allowMissing) null-fills exactly the missing column") {
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 9L), word))) { rs =>
+      val a = rs.toDF("k", "s")
+      val b = rs.toDF("k", "s").withColumn("extra", col("k") * 2)
+      val u = a.unionByName(b, allowMissingColumns = true)
+      assert(u.count() === 2L * rs.size)
+      assert(u.filter(col("extra").isNull).count() === rs.size)
+    }
+  }
+
+  test("levenshtein is symmetric, zero iff equal, bounded by max length") {
+    forAll(word, word) { (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b")).as("d1"),
+          levenshtein(col("b"), col("a")).as("d2"))
+        .as[(Int, Int)].head()
+      assert(r._1 === r._2)
+      assert((r._1 == 0) === (a == b))
+      assert(r._1 <= math.max(a.length, b.length))
+    }
+  }
+
+  test("stringHash stays in [0, P) and is stable") {
+    forAll(word) { s =>
+      val df = Seq(s).toDF("s")
+        .select(TextOps.stringHash(col("s")).as("h1"),
+          TextOps.stringHash(col("s")).as("h2"))
+      val (h1, h2) = df.as[(Long, Long)].head()
+      assert(h1 === h2)
+      assert(h1 >= 0 && h1 < TextOps.P)
+    }
+  }
+
+  test("simhashGrouped equals row-local simhash for any token set") {
+    forAll(Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
+      whenever(rs.nonEmpty) {
+        val d = rs.toDF("doc_id", "tok")
+          .groupBy("doc_id").agg(collect_set(col("tok")).as("toks"))
+          .select(col("doc_id"),
+            transform(col("toks"), t => TextOps.stringHash(t)).as("wh"))
+        val grouped = TextOps.simhashGrouped(d, "doc_id", "wh", 16)
+          .as[(Long, Long)].collect().toMap
+        val local = d.select(col("doc_id"), TextOps.simhash(col("wh"), 16).as("sim"))
+          .as[(Long, Long)].collect().toMap
+        assert(grouped === local)
+      }
+    }
+  }
+}
