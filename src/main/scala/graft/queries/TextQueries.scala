@@ -167,29 +167,45 @@ object TextQueries {
 
   /** N-gram Jaccard near-dedup: inverted-index candidate join on
     * shared 3-gram shingles, then Jaccard over the shingle sets.
-    * Scale: the join key is the shingle (bounded candidate lists);
-    * hot shingles would be dropped by a doc-frequency cap upstream. */
+    * Scale: the join key is the shingle, and the index is
+    * **doc-frequency capped** — shingles appearing in more than DfCap
+    * documents are dropped before candidate generation. Pair volume
+    * is Σ df² over index entries, so the cap bounds the quadratic
+    * term no matter how the corpus grows; ultra-common shingles carry
+    * no dedup signal. Jaccard is computed over the capped sets on
+    * both sides (numerator and denominator), mirrored exactly by the
+    * oracle. */
   val qDedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
       Tables.ensureConf(spark)
+      val DfCap = 1000
       val d = load(spark, dir, "documents")
       val base = d.select(col("doc_id"),
         array_distinct(shingles3(words(col("text")))).as("sh"))
       // join key = stringHash(shingle): an 8-byte long instead of a
       // ~25-byte string — smaller exchange, cheaper hash probes; the
       // oracle hashes identically so collisions (if any) agree.
-      // persist: the self-join + regroup would otherwise re-derive the
-      // shingle index 3× (interpreted transform dominates the query).
-      val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("s0"))
-        .select(col("doc_id"), col("n"), stringHash(col("s0")).as("s"))
+      // persist: consumed by the hot-set aggregate, per-doc counts,
+      // and both join sides — the interpreted shingle transform would
+      // otherwise re-run per consumer.
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"), stringHash(col("s0")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s"))
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("s")
+      val idx = ex.join(broadcast(hot), Seq("s"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nn = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+      val b = idx.select(col("doc_id").as("doc_b"), col("s"))
       a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared"))
+        .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))),
+          Seq("doc_a"))
+        .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
+          Seq("doc_b"))
         .withColumn("jacc_bp",
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
             .cast("long"))
@@ -204,19 +220,26 @@ object TextQueries {
       FROM (SELECT doc_id,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents)),
-    e0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s0 FROM d),
-    e AS (SELECT doc_id, n,
+    e0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+    e AS (SELECT doc_id,
       CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s FROM e0),
+    idx AS (SELECT doc_id, s FROM e
+      WHERE s NOT IN (SELECT s FROM e GROUP BY s HAVING COUNT(*) > 1000)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
     p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-        COUNT(*) AS shared
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b, shared, na.n AS na, nb.n AS nb
+      FROM p
+      JOIN nn na ON p.doc_a = na.doc_id
+      JOIN nn nb ON p.doc_b = nb.doc_id)
     SELECT doc_a, doc_b, shared,
       CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) AS jacc_bp
-    FROM p
+    FROM j
     WHERE CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) >= 2000"""),
-    "Near-dedup: n-gram Jaccard via shingle inverted-index join")
+    "Near-dedup: n-gram Jaccard, df-capped shingle inverted index")
 
   /** MinHash+LSH near-dedup: k=8 signature, 4 bands × 2 rows,
     * candidates share a band, verified with true Jaccard over hashed
