@@ -377,6 +377,42 @@ object TextQueries {
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1"""),
     "Near-dedup: 32-bit SimHash + byte-band blocking + Hamming filter")
 
+  /** MinHash signatures via the typed Aggregator (mergeable-sketch
+    * path): token hashes explode, the UDAF folds them with map-side
+    * partial aggregation — one shuffle on doc_id carrying k-long
+    * sketch states, not token lists. Same arithmetic as the row-local
+    * fold (PropertySpec-checked); the oracle computes each mh_i as a
+    * grouped min. */
+  val qMinhashSketch = Q(
+    "q_minhash_sketch",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val mh = udaf(graft.functions.MinHashAgg)
+      val d = load(spark, dir, "documents")
+      d.select(col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("w"))
+        .select(col("doc_id"), stringHash(col("w")).as("h"))
+        .groupBy("doc_id")
+        .agg(mh(col("h")).as("sig"))
+        // scalar columns, not the array: hash-compare tooling treats
+        // flat columns uniformly across engines
+        .select(col("doc_id") +:
+          (1 to 8).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
+    },
+    Some("""WITH e AS (
+      SELECT doc_id,
+        CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS w
+        FROM documents))
+    SELECT doc_id,
+      min((h*7+3)%2147483647) AS mh1, min((h*13+11)%2147483647) AS mh2,
+      min((h*29+19)%2147483647) AS mh3, min((h*41+31)%2147483647) AS mh4,
+      min((h*53+43)%2147483647) AS mh5, min((h*67+59)%2147483647) AS mh6,
+      min((h*83+71)%2147483647) AS mh7, min((h*97+89)%2147483647) AS mh8
+    FROM e GROUP BY doc_id"""),
+    "MinHash via typed Aggregator UDAF (mergeable sketch, partial agg)")
+
   /** Composite training-data pipeline — the flagship LLM-corpus
     * chain: quality-score → filter (≥ 5000 bp) → language-ID →
     * exact-dedup (min doc per md5 fingerprint) → per-language corpus
@@ -455,5 +491,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qCorpusPipeline)
+    qDedupSimhash, qCorpusPipeline, qMinhashSketch)
 }

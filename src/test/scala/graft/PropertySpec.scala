@@ -106,6 +106,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinHashAgg (mergeable sketch) equals the row-local fold") {
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
+      whenever(rs.nonEmpty) {
+        val hashed = rs.toDF("doc_id", "tok")
+          .select(col("doc_id"), TextOps.stringHash(col("tok")).as("h"))
+        val mh = udaf(graft.functions.MinHashAgg)
+        val viaAgg = hashed.groupBy("doc_id")
+          .agg(mh(col("h")).as("sig"))
+          .as[(Long, Array[Long])].collect().toMap
+        val viaFold = hashed.groupBy("doc_id")
+          .agg(collect_list(col("h")).as("hs"))
+          .select(col("doc_id"), TextOps.minhashSignature(col("hs")).as("sig"))
+          .as[(Long, Array[Long])].collect().toMap
+        assert(viaAgg.keySet === viaFold.keySet)
+        viaAgg.foreach { case (k, v) => assert(v.toSeq === viaFold(k).toSeq) }
+      }
+    }
+  }
+
   test("simhashGrouped equals row-local simhash for any token set") {
     forAll(Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
       whenever(rs.nonEmpty) {
