@@ -29,6 +29,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("flagship entry executes and returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q_join_broadcast_left broadcasts the lookup side") {
     assert(planString("q_join_broadcast_left").contains("BroadcastHashJoin"))
   }

@@ -79,6 +79,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-source streaming: readStream over parquet drives the same plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_src").toString
+    try {
+      val events = Seq(
+        EventOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        EventOps.Event(2, ts("2024-01-01 00:40:00"), 2, "view", 2.0),
+        EventOps.Event(3, ts("2024-01-01 01:05:00"), 1, "click", 3.0))
+      events.toDF().write.mode("overwrite").parquet(tmp)
+      val stream = spark.readStream
+        .schema(events.toDF().schema)
+        .parquet(tmp)
+      val q = EventOps.streamingWindowedCounts(stream)
+        .writeStream.format("memory").queryName("file_win")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("file_win")
+      assert(got.count() === 3) // (00:00 click), (00:00 view), (01:00 click)
+      assert(got.agg(sum("n_events")).as[Long].head() === 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("streaming exact dedup: watermark + dropDuplicates drops replays") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventOps.Event]
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    in.addData(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      EventOps.Event(2, ts("2024-01-01 00:05:00"), 1, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2 replays event 1 (at-least-once upstream) + a new event
+    in.addData(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      EventOps.Event(3, ts("2024-01-01 00:10:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("batch sessionizeBatch agrees with the session boundaries above") {
     val events = Seq(
       EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
