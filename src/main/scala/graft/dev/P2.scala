@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.dev
 
 import graft.Tables
 import graft.ops.TextOps._
