@@ -267,7 +267,28 @@ object AnalyticsQueries {
         ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC)"""),
     "Ranking family: rank / dense_rank / ntile / percent_rank")
 
+  /** Positional explode: token + 0-based position per document (the
+    * generator/table-function family; posexplode = UNNEST WITH
+    * ORDINALITY). Row-local expansion — order comes from the array,
+    * not from any shuffle. */
+  val qArrayPos = Q(
+    "q_array_pos",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+    },
+    Some("""SELECT doc_id, CAST(pos AS INTEGER) AS pos, term FROM (
+      SELECT doc_id, unnest([{'pos': i-1, 'term': w[i]}
+          FOR i IN generate_series(1, len(w))], recursive := true)
+      FROM (SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents WHERE doc_id % 10 = 0))"""),
+    "Positional explode (posexplode / UNNEST WITH ORDINALITY)")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
-    qEventsJson, qWindowRanks)
+    qEventsJson, qWindowRanks, qArrayPos)
 }

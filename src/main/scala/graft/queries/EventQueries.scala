@@ -128,6 +128,42 @@ object EventQueries {
         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""),
     "Rolling event-time RANGE window: 1-hour trailing count + sum")
 
+  /** Funnel analysis: signup → click → purchase, each stage's
+    * timestamp being the user's earliest event of that type at-or-
+    * after the previous stage. Three grouped aggregates chained by
+    * broadcast joins on the (small) per-user stage table — event rows
+    * shuffle once per stage, user rows broadcast. */
+  val qEventsFunnel = Q(
+    "q_events_funnel",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "events").select("user_id", "event_type", "ts")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = e.join(broadcast(s1), Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = e.join(broadcast(s2), Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after_signup")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+    },
+    Some("""WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      (SELECT COUNT(*) FROM s2) AS n_click_after_signup,
+      (SELECT COUNT(*) FROM s3) AS n_purchase_after_click"""),
+    "Funnel: staged sequential conversion counts (signup→click→purchase)")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
-    qRollupAgg, qCubeAgg, qEventsRolling)
+    qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel)
 }
