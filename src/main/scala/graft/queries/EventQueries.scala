@@ -164,6 +164,34 @@ object EventQueries {
       (SELECT COUNT(*) FROM s3) AS n_purchase_after_click"""),
     "Funnel: staged sequential conversion counts (signup→click→purchase)")
 
+  /** Sliding event-time windows (1 hour, 30-minute slide): each event
+    * lands in exactly two overlapping buckets; the expansion is
+    * row-local (a generate, not a join) and the aggregate combines
+    * map-side. Oracle derives the same two epoch-aligned starts per
+    * event arithmetically. */
+  val qEventsSliding = Q(
+    "q_events_sliding",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("value_cents"))
+    },
+    Some("""WITH e AS (
+      SELECT event_type, value,
+        CAST(floor(floor(epoch(ts))/1800)*1800 AS BIGINT) AS s1
+      FROM events),
+    u AS (SELECT event_type, value, unnest([s1, s1 - 1800]) AS ws FROM e)
+    SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM u GROUP BY 1, 2"""),
+    "Sliding event-time windows (1h window, 30min slide)")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
-    qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel)
+    qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel, qEventsSliding)
 }
