@@ -82,6 +82,15 @@ class VectorExprSpec extends SparkSpec {
       l.contains("*(") && l.contains("graft_dot")))
   }
 
+  test("GraftExtensions injects both functions into a fresh extension set") {
+    // the hook cluster deployments reach via
+    // spark.sql.extensions=graft.functions.GraftExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
+      === Set("graft_dot", "graft_scale_div"))
+  }
+
   test("SQL surface works after registration") {
     VectorExpressions.register(spark)
     df.createOrReplaceTempView("vec_test")
