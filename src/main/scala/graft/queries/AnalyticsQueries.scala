@@ -133,7 +133,10 @@ object AnalyticsQueries {
       val o = load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("salt", explode(sequence(lit(0), lit(SaltN - 1))))
-      l.join(o,
+      // `merge` hint: salting only matters for a SHUFFLED join — at
+      // small SF the replicated side would auto-broadcast and the demo
+      // would silently measure a different plan than it documents
+      l.join(o.hint("merge"),
           l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),

@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_salted stays a shuffle join (salting targets reducers)") {
+    val plan = planString("q_join_salted")
+    // salting only makes sense for a shuffled join; a broadcast here
+    // would mean the replicated side silently crossed the threshold
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+  }
+
   test("q_counts aggregates with map-side partial aggregation") {
     val plan = planString("q_counts")
     // two HashAggregate nodes (partial + final) around one exchange

@@ -124,6 +124,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch sink: batch ids drive idempotent partitioned writes") {
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb_sink").toString
+    try {
+      val in = MemoryStream[EventOps.Event]
+      val q = EventOps.windowedCounts(in.toDF())
+        .writeStream.outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          // batch-id-named directory + overwrite = replay-safe sink
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        .start()
+      in.addData(EventOps.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(EventOps.Event(2, ts("2024-01-01 00:20:00"), 1, "view", 2.0))
+      q.processAllAvailable(); q.stop()
+      val maxId = spark.read.parquet(out)
+        .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      val last = spark.read.parquet(out).filter(col("batch_id") === maxId)
+      assert(last.agg(sum("n_events")).head().getLong(0) === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("batch sessionizeBatch agrees with the session boundaries above") {
     val events = Seq(
       EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
