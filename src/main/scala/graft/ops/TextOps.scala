@@ -48,6 +48,12 @@ object TextOps {
   def stringHash(s: Column): Column =
     pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
 
+  /** String → uniform long in [0, 2^60): first 60 bits of md5, no
+    * modulus — the wide variant for SimHash, where every signature bit
+    * must come from an independent hash bit. */
+  def stringHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature (k values) over a set of hashed shingles:
     * mh_i = min over h of (a_i*h + b_i) mod P. Row-local. */
   def minhashSignature(hashes: Column): Column = {
@@ -60,8 +66,8 @@ object TextOps {
 
   /** SimHash (nBits wide, default 16) over a set of hashed tokens:
     * bit b is set iff sum over tokens of ±1 (per token-hash bit b) is
-    * positive. Row-local; bit test via exact double ops
-    * (floor(h / 2^b) mod 2) so any engine reproduces it. */
+    * positive. Row-local; bit test via integer shifts (exact at any
+    * hash width) so any engine reproduces it. */
   def simhash(hashes: Column, nBits: Int = 16): Column =
     aggregate(
       sequence(lit(0), lit(nBits - 1)),
@@ -69,8 +75,10 @@ object TextOps {
       (acc, b) => {
         val vote = aggregate(hashes, lit(0L),
           (s, h) => s + when(
-            floor(h / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
-        acc + when(vote > 0, floor(pow(lit(2.0), b)).cast("long")).otherwise(0L)
+            call_function("shiftright", h, b.cast("int")) % 2 === 1, 1L)
+            .otherwise(-1L))
+        acc + when(vote > 0,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)
       })
 
   /** SimHash at corpus scale: explode token hashes and compute the
@@ -80,8 +88,10 @@ object TextOps {
   def simhashGrouped(df: DataFrame, idCol: String, hashesCol: String,
       nBits: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(col(hashesCol)).as("__h"))
+    // shiftright, not floor(h / 2^b): exact at any hash width (double
+    // division loses bits past 2^53) and stays integer-codegen'd
     val votes = (0 until nBits).map { b =>
-      sum(when(floor(col("__h") / math.pow(2, b)).cast("long") % 2 === 1, 1L)
+      sum(when(shiftright(col("__h"), b) % 2 === 1, 1L)
         .otherwise(-1L)).as(s"__v$b")
     }
     val sim = (0 until nBits)

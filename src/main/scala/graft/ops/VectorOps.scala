@@ -132,6 +132,43 @@ object VectorOps {
     }.toDF(s"${idCol}_a", s"${idCol}_b", "cos_bp")
   }
 
+  /** Per-bucket all-pairs cosine ≥ threshold (basis points) over
+    * pre-normalized vectors — the 100 TB shape of
+    * [[allPairsCosineAtLeast]]. Vectors arrive pre-bucketed (LSH /
+    * IVF coarse quantizer); each bucket's pairs run through the same
+    * primitive-array kernel inside flatMapGroups, so there is no
+    * corpus-sized collect and no all-pairs join: driver memory is
+    * O(1), executor memory is O(largest bucket), and the only shuffle
+    * is the groupByKey on the bucket id. Same arithmetic as the
+    * all-pairs kernel (left-assoc dot, exact-decimal HALF_UP), so the
+    * DuckDB oracle mirrors it exactly over the same bucket join. */
+  def bucketedPairsCosineAtLeast(
+      df: org.apache.spark.sql.DataFrame, bucketCol: String, idCol: String,
+      vecCol: String, thresholdBp: Long): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(bucketCol).cast("long"), col(idCol).cast("long"),
+      col(vecCol)).as[(Long, Long, Array[Double])]
+    val cut = thresholdBp - 0.5
+    ds.groupByKey(_._1).flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+      val all = it.map(t => (t._2, t._3)).toArray
+      Iterator.range(0, all.length).flatMap { i =>
+        val (ida, va) = all(i)
+        Iterator.range(i + 1, all.length).flatMap { j =>
+          val (idb, vb) = all(j)
+          var s = 0.0; var k = 0
+          while (k < va.length) { s += va(k) * vb(k); k += 1 }
+          if (s * 10000 >= cut) {
+            val bp = new java.math.BigDecimal(s * 10000)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+            Iterator.single(
+              (math.min(ida, idb), math.max(ida, idb), bp))
+          } else Iterator.empty
+        }
+      }
+    }.toDF(s"${idCol}_a", s"${idCol}_b", "cos_bp")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
     * an LCG step on the index, mapped to [-0.5, 0.5). Integer part is
     * exact in any engine; the division by 2^31 is a power-of-two scale

@@ -58,9 +58,9 @@ object AnalyticsQueries {
     },
     Some("""SELECT o_custkey, o_orderkey,
       row_number() OVER w AS rn,
-      SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+      CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER
         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
       datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
@@ -197,7 +197,7 @@ object AnalyticsQueries {
         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders)
     SELECT o_orderpriority,
-      CASE WHEN COUNT(*) = 1 THEN SUM(c) * 2 ELSE SUM(c) END AS median_cents_x2
+      CAST(CASE WHEN COUNT(*) = 1 THEN SUM(c) * 2 ELSE SUM(c) END AS BIGINT) AS median_cents_x2
     FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
     GROUP BY o_orderpriority"""),
     "Exact median via window ranks, integer-only output")
@@ -238,8 +238,8 @@ object AnalyticsQueries {
           count(when(col("j.k").isNull, 1)).as("n_unparsed"))
     },
     Some("""SELECT event_type, COUNT(*) AS n_events,
-      SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
-      MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
       COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_unparsed
       FROM events GROUP BY event_type"""),
     "Semi-structured: declared-schema JSON parse + grouped aggregates")

@@ -95,6 +95,46 @@ object CoreQueries {
     FROM c"""),
     "§2.8 multi-format to_date with cleaning regexes")
 
+  /** §2.8 date family: 2-digit-year parse under the reference's LEGACY
+    * time-parser policy (reference etl1:23,42-47 — `to_date(u,
+    * "dd/MM/yy")` with SimpleDateFormat semantics). LEGACY's 2-digit
+    * pivot slides with the wall clock (now−80 … now+20), so the
+    * synthesized years stay far from the boundary: yy ∈ [00,30] →
+    * 2000s and yy ∈ [60,99] → 1900s, both unambiguous for decades.
+    * The oracle pins exactly that pivot with an explicit CASE. */
+  val qDateParseYy = Q(
+    "q_date_parse_yy",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      // same conf the reference ETL sets (etl1:23); parseMulti's yy
+      // branch resolves via SimpleDateFormat's 80/20 pivot under it
+      spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+      val o = load(spark, dir, "orders")
+      val k = col("o_orderkey")
+      val yy = when(k % 2 === 0, k % 31).otherwise(lit(60) + k % 40)
+      // day capped at 28: the substituted year may not be a leap year,
+      // so a Feb-29 source date must not produce an invalid string
+      val dd = least(dayofmonth(col("o_orderdate")), lit(28))
+      val raw = concat(lpad(dd.cast("string"), 2, "0"), lit("/"),
+        date_format(col("o_orderdate"), "MM"), lit("/"),
+        lpad(yy.cast("string"), 2, "0"))
+      o.select(k.as("o_orderkey"), raw.as("raw"),
+        DateParse.parseMulti(raw).as("parsed"))
+    },
+    Some("""WITH s AS (
+      SELECT o_orderkey, o_orderdate,
+        CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 31
+             ELSE 60 + o_orderkey % 40 END AS yy,
+        least(day(o_orderdate), 28) AS dd
+      FROM orders)
+    SELECT o_orderkey,
+      lpad(CAST(dd AS VARCHAR), 2, '0') || strftime(o_orderdate, '/%m/')
+        || lpad(CAST(yy AS VARCHAR), 2, '0') AS raw,
+      make_date(CAST(CASE WHEN yy <= 30 THEN 2000 + yy ELSE 1900 + yy END AS INTEGER),
+        month(o_orderdate), CAST(dd AS INTEGER)) AS parsed
+    FROM s"""),
+    "§2.8 dd/MM/yy parse: LEGACY 2-digit-year pivot, oracle-pinned")
+
   /** SHA-256 content-addressed surrogate keys over normalized natural
     * key (reference etl2:156-162). */
   val qSurrogateKeys = Q(
@@ -228,6 +268,6 @@ object CoreQueries {
     "S10 row-count action (etl1:60,139; etl2:95)")
 
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
-    qSurrogateKeys, qMisalignRepair, qArrayModelWords, qDistinctKeys,
-    qTopkGlobal, qCounts)
+    qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
+    qDistinctKeys, qTopkGlobal, qCounts)
 }

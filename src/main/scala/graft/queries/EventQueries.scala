@@ -43,8 +43,8 @@ object EventQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
     s AS (
       SELECT user_id, ts,
-        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-          ROWS UNBOUNDED PRECEDING) AS session_seq
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM g)
     SELECT user_id, session_seq, min(ts) AS session_start,
       max(ts) AS session_end, COUNT(*) AS n_events
@@ -121,7 +121,7 @@ object EventQueries {
     },
     Some("""SELECT user_id, event_id, ts,
       COUNT(*) OVER w AS n_events_1h,
-      SUM(CAST(round(value*100) AS BIGINT)) OVER w AS value_cents_1h
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS value_cents_1h
       FROM events
       WINDOW w AS (PARTITION BY user_id
         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -173,11 +173,17 @@ object EventQueries {
     "q_events_sliding",
     (spark, dir) => {
       Tables.ensureConf(spark)
+      // project to the 3 needed columns (with cents already derived)
+      // BEFORE the window generate: the generate doubles every row, so
+      // the doubled rows must be narrow — at 100 TB the difference is
+      // doubling 3 columns vs doubling the whole event record
       load(spark, dir, "events")
+        .select(col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          sum(col("cents")).as("value_cents"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("value_cents"))
     },

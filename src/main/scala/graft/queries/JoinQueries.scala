@@ -38,7 +38,11 @@ object JoinQueries {
       Tables.ensureConf(spark)
       val c = load(spark, dir, "customer")
       val big = load(spark, dir, "orders").filter(col("o_totalprice") >= 350000)
-      c.join(big.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      // the filtered right side is tiny — broadcast it so the anti-join
+      // never shuffles the big (customer) side; at scale an SMJ here
+      // would shuffle the whole left for nothing
+      c.join(broadcast(big.select(col("o_custkey").as("c_custkey"))),
+          Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c

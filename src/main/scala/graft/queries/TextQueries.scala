@@ -315,9 +315,13 @@ object TextQueries {
     FROM cand"""),
     "Near-dedup: MinHash signatures + LSH bands + Jaccard verify")
 
-  /** SimHash: 32-bit signature per doc (row-local), then near-dup
-    * pairs via byte-band blocking (pigeonhole: hamming ≤ 1 ⇒ some
-    * byte equal) + Hamming filter. */
+  /** SimHash: 60-bit signature per doc (every bit from an independent
+    * md5 bit via [[TextOps.stringHash60]]), then near-dup pairs via
+    * 4×15-bit band blocking (pigeonhole: hamming ≤ 3 ⇒ some band
+    * equal) + exact Hamming filter. 15-bit bands put the random-pair
+    * band-collision probability at ~4/32768, so the candidate join
+    * stays near-linear in corpus size — the round-1 8-bit bands
+    * (~4/256) were quadratic and benched 94 s at sf0.1. */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (spark, dir) => {
@@ -325,57 +329,57 @@ object TextQueries {
       val d = load(spark, dir, "documents")
       val base = simhashGrouped(
         d.select(col("doc_id"),
-          transform(array_distinct(words(col("text"))), w => stringHash(w))
+          transform(array_distinct(words(col("text"))), w => stringHash60(w))
             .as("wh")),
-        "doc_id", "wh", 32)
+        "doc_id", "wh", 60)
       val bands = base.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
-            (floor(col("sim") / math.pow(2, 8 * j).toLong).cast("long") % 256)
-              .as("nib"))): _*)).as("b"))
-        .select(col("doc_id"), col("sim"), col("b.band"), col("b.nib"))
+            shiftright(col("sim"), 15 * j).bitwiseAND(lit(32767L))
+              .as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("sim"), col("b.band"), col("b.bkey"))
         // self-joined below; persist so the grouped bit-vote signature
-        // (explode + 32-column aggregate) runs once, not twice
+        // (explode + 60-column aggregate) runs once, not twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
-        col("band"), col("nib"))
+        col("band"), col("bkey"))
       val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
-        col("band"), col("nib"))
-      a.join(b, Seq("band", "nib")).filter(col("doc_a") < col("doc_b"))
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-        .filter(col("hamming") <= 1)
+        .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
           col("hamming").cast("int").as("hamming"))
     },
     Some("""WITH d AS (
       SELECT doc_id,
-        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
+        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)
           FOR x IN string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')]) AS wh
       FROM documents),
     sg AS (
       SELECT doc_id,
-        list_sum([CASE WHEN list_sum([CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1
+        CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) % 2 = 1
             THEN 1 ELSE -1 END FOR h IN wh]) > 0
-          THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END
-          FOR b IN generate_series(0, 31)]) AS sim
+          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+          FOR b IN generate_series(0, 59)]) AS BIGINT) AS sim
       FROM d),
     bands AS (
       SELECT doc_id, sim, unnest([
-        {'band': 0, 'nib': CAST(floor(sim / 1) AS BIGINT) % 256},
-        {'band': 1, 'nib': CAST(floor(sim / 256) AS BIGINT) % 256},
-        {'band': 2, 'nib': CAST(floor(sim / 65536) AS BIGINT) % 256},
-        {'band': 3, 'nib': CAST(floor(sim / 16777216) AS BIGINT) % 256}], recursive := true)
+        {'band': 0, 'bkey': (sim >> 0) % 32768},
+        {'band': 1, 'bkey': (sim >> 15) % 32768},
+        {'band': 2, 'bkey': (sim >> 30) % 32768},
+        {'band': 3, 'bkey': (sim >> 45) % 32768}], recursive := true)
       FROM sg),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.sim AS sim_a, b.sim AS sim_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, sim_a, sim_b,
       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1"""),
-    "Near-dedup: 32-bit SimHash + byte-band blocking + Hamming filter")
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3"""),
+    "Near-dedup: 60-bit SimHash + 4×15-bit band blocking + Hamming ≤ 3")
 
   /** MinHash signatures via the typed Aggregator (mergeable-sketch
     * path): token hashes explode, the UDAF folds them with map-side
@@ -484,8 +488,9 @@ object TextQueries {
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM kept) WHERE rn = 1)
-    SELECT pred_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-      SUM(quality_bp) AS sum_quality_bp
+    SELECT pred_lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(quality_bp) AS BIGINT) AS sum_quality_bp
     FROM dedup GROUP BY pred_lang"""),
     "Flagship corpus pipeline: quality filter → lang-ID → dedup → stats")
 

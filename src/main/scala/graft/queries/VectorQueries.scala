@@ -86,28 +86,43 @@ object VectorQueries {
     FROM b GROUP BY bucket"""),
     "Similarity search scale path: random-hyperplane LSH bucket histogram")
 
-  /** Embedding-cosine near-dedup: all-pairs at test scale (exact
-    * oracle), cos ≥ 0.45 in basis points. Scale note: the production
-    * path blocks pairs by LSH bucket (q_ann_lsh_buckets signatures)
-    * instead of all-pairs. */
+  /** Embedding-cosine near-dedup, LSH-blocked — the 100 TB shape:
+    * vectors are bucketed by 4-plane random-hyperplane signature
+    * (same coarse quantizer as q_ann_ivf_topk), then each bucket's
+    * pairs run through the per-bucket primitive-array kernel
+    * (cos ≥ 0.45 in basis points). No corpus-sized collect, no
+    * all-pairs join; candidate recall loss across bucket boundaries
+    * is the documented ANN trade. Buckets are deterministic, so the
+    * DuckDB oracle joins on the same bucket and is exact. */
   val qDedupEmbCosine = Q(
     "q_dedup_emb_cosine",
     (spark, dir) => {
       Tables.ensureConf(spark)
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-      val par = spark.sparkContext.defaultParallelism
-      allPairsCosineAtLeast(e, "vec_id", "vn", 4500L, par)
+        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+      bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 4500L)
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
           col("cos_bp"))
     },
     Some(s"""WITH $sqlNormalizedCte,
+    pp AS (
+      SELECT vec_id, p,
+        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
+          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
+      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM pp GROUP BY vec_id),
+    nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         CAST(round(10000 * (${sqlDot("a.vn", "b.vn")})) AS BIGINT) AS cos_bp
-      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, cos_bp FROM p WHERE cos_bp >= 4500"""),
-    "Near-dedup: embedding cosine pairs (all-pairs exact at test scale)")
+    "Near-dedup: embedding cosine pairs, LSH-bucketed kernel (scale shape)")
 
   /** IVF-style ANN: the scale path made concrete. Vectors are
     * LSH-bucketed (coarse quantizer); each query probes only its own

@@ -79,6 +79,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_anti broadcasts the (tiny) filtered side") {
+    val plan = planString("q_join_anti")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_fact_assembly keeps both dim joins broadcast (fact never shuffles)") {
+    val plan = planString("q_fact_assembly")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_events_sliding projects narrow before the window generate") {
+    val plan = SparkEntry.queries("q_events_sliding")(spark, dir)
+      .queryExecution.executedPlan
+    val expand = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+      }
+      case e: org.apache.spark.sql.execution.ExpandExec => Seq(e)
+    }.flatten.headOption
+    // the generate doubles every row; it must carry only the narrow
+    // projection (window struct + type + cents), not the event record
+    assert(expand.nonEmpty, "expected ExpandExec for the sliding window")
+    assert(expand.get.output.size <= 4,
+      s"expand too wide: ${expand.get.output.map(_.name)}")
+  }
+
   test("q_join_salted stays a shuffle join (salting targets reducers)") {
     val plan = planString("q_join_salted")
     // salting only makes sense for a shuffled join; a broadcast here

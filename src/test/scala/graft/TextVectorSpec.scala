@@ -77,6 +77,26 @@ class TextVectorSpec extends SparkSpec {
     assert(got.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("bucketedPairsCosineAtLeast ⊆ all-pairs, identical cos_bp values") {
+    Tables.ensureConf(spark)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = VectorOps.withNormalizedNative(e, "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+    // 4000 bp, not the registry's 4500: sf0.001 has no pair ≥ 0.45 that
+    // also shares a 4-plane bucket, and an empty set would vacuously pass.
+    val exact = VectorOps.allPairsCosineAtLeast(n, "vec_id", "vn", 4000L, 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val bucketed = VectorOps.bucketedPairsCosineAtLeast(
+        n.withColumn("bucket", VectorOps.lshBucket(col("vn"), 4, 64)),
+        "bucket", "vec_id", "vn", 4000L)
+      .as[(Long, Long, Long)].collect()
+    assert(bucketed.nonEmpty)
+    // every bucketed pair exists in the exact set with the same value
+    bucketed.foreach { case (a, b, bp) =>
+      assert(exact.get((a, b)).contains(bp), s"($a,$b)=$bp not in exact")
+    }
+  }
+
   test("vocabHits and quality components") {
     val got = Seq("the cat and the hat").toDF("t")
       .select(TextOps.vocabHits(TextOps.words(col("t")), Seq("the", "and")))

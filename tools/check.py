@@ -18,6 +18,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def duck_types(con, from_clause: str) -> dict:
+    """Column name → DuckDB type for a DESCRIBE-able query."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {from_clause}").fetchall()}
+
+
+def norm_type(t: str) -> str:
+    """Collapse differences the driver's hash compare tolerates
+    (timestamp precision, integer widths up to 64-bit: r1 evidence —
+    INTEGER-vs-BIGINT columns all passed hash_match) but NEVER
+    HUGEINT/INT128: DuckDB's uncast SUM returns HUGEINT, the driver
+    hash-fails it, and round 1 shipped 7 oracle bugs that pandas Int64
+    coercion masked here."""
+    t = t.upper()
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64CLASS"
+    return t
+
+
+def type_mismatches(spark_t: dict, duck_t: dict) -> list:
+    out = []
+    for c in sorted(set(spark_t) & set(duck_t)):
+        a, b = norm_type(spark_t[c]), norm_type(duck_t[c])
+        if a != b:
+            out.append(f"{c}: spark={spark_t[c]} oracle={duck_t[c]}")
+    return out
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for compare
@@ -45,6 +75,13 @@ def main():
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
+            bad_types = type_mismatches(
+                duck_types(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'"),
+                duck_types(con, f"({sql})"))
+            if bad_types:
+                print(f"FAIL {name}: dtype mismatch {bad_types}")
+                n_bad += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.execute(sql).df()
