@@ -178,14 +178,28 @@ object VectorOps {
       .cast("double") / lit(2.147483648e9) - lit(0.5)
 
   /** Random-hyperplane LSH bucket id (nPlanes bits): bit p is set iff
-    * dot(v, plane_p) > 0. Row-local; one pass per plane. */
+    * dot(v, plane_p) > 0. Row-local. Projections are unrolled
+    * per-plane sums with the plane weights folded to double literals
+    * (same LCG formula and left-assoc accumulation as the previous
+    * `aggregate` fold — bit-identical — but codegen'd instead of an
+    * interpreted per-element lambda, which dominated the ANN queries). */
   def lshBucket(v: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        sequence(lit(0), lit(dims - 1)), lit(0.0),
-        (acc, d) => acc + element_at(v, d + 1) * planeWeight(lit(p), d, dims))
+      val proj = (0 until dims)
+        .map(d => element_at(v, d + 1) * lit(planeWeightConst(p, d, dims)))
+        .reduceLeft(_ + _)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** The [[planeWeight]] LCG evaluated at a fixed (plane, dim) — the
+    * identical integer arithmetic, done in Long (exact), then the same
+    * power-of-two scale, so the folded literal equals what Catalyst
+    * would constant-fold the Column form to. */
+  def planeWeightConst(p: Int, d: Int, dims: Int): Double = {
+    val x = java.lang.Math.floorMod(
+      1103515245L * (p.toLong * dims + d + 1) + 12345L, 2147483648L)
+    x.toDouble / 2.147483648e9 - 0.5
   }
 }

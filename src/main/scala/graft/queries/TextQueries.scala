@@ -180,9 +180,25 @@ object TextQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val DfCap = 1000
-      val d = load(spark, dir, "documents")
+      // The fixture is one parquet row-group → one scan split, which
+      // serializes the (expensive, row-local) shingle+md5 derivation on
+      // a single core no matter the executor count. Spreading raw docs
+      // by id first costs one tiny shuffle of the raw text and lets the
+      // derivation use the whole cluster; on a many-file corpus it also
+      // guards against skewed file sizes. (Measured: 20 s → ~3 s at
+      // sf0.1/local[32].)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // base is persisted for plan-shape, not reuse: the explode below
+      // makes InferFiltersFromGenerate add `size(sh) > 0`, and predicate
+      // pushdown drags that filter — carrying the whole interpreted
+      // shingle subtree — below the exchange onto the single scan
+      // split, serializing the derivation (measured 17-20 s of the
+      // query's 20 s). The cache boundary stops the pushdown, so the
+      // derivation runs once, post-exchange, on all cores, and the
+      // inferred filter evaluates against the cached array.
       val base = d.select(col("doc_id"),
         array_distinct(shingles3(words(col("text")))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // join key = stringHash(shingle): an 8-byte long instead of a
       // ~25-byte string — smaller exchange, cheaper hash probes; the
       // oracle hashes identically so collisions (if any) agree.
@@ -249,7 +265,8 @@ object TextQueries {
     "q_dedup_minhash_lsh",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val base = d.select(col("doc_id"),
         transform(array_distinct(shingles3(words(col("text")))), s => stringHash(s))
           .as("hs"))
@@ -326,11 +343,17 @@ object TextQueries {
     "q_dedup_simhash",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // persist before the grouped-vote explode: same
+      // InferFiltersFromGenerate pushdown trap as q_dedup_ngram_jaccard
+      // (the inferred size(wh)>0 filter would re-derive the word hashes
+      // below the exchange on the single scan split)
       val base = simhashGrouped(
         d.select(col("doc_id"),
           transform(array_distinct(words(col("text"))), w => stringHash60(w))
-            .as("wh")),
+            .as("wh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         "doc_id", "wh", 60)
       val bands = base.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(j =>
