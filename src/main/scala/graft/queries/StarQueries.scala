@@ -268,7 +268,14 @@ object StarQueries {
     * deterministic tempRegistrationNumber tiebreak. */
   val qStarDimVehicle = Q(
     "q_star_dim_vehicle",
-    (spark, dir) => gold(spark, dir).dimVehicle,
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+      // dims need only the keyed stage — skip the resolution cascade
+      // and fact assembly gold() would also build
+      val (dv, _, _) = Etl2.dimensions(Etl2.keyed(Etl1.stage(rawSynth(spark, dir))))
+      dv
+    },
     Some("WITH " + sqlStageCtes + """
     SELECT VEHICLE_ID,
       modelName AS MODEL_NAME,

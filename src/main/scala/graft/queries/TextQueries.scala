@@ -449,7 +449,8 @@ object TextQueries {
     "q_corpus_pipeline",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val w = words(col("text"))
       val nW = size(w)
       val nC = length(col("text"))
