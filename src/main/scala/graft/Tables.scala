@@ -18,6 +18,7 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.TextExpressions.register(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_scale_div"),
       info("graft_scale_div"),
       (es: Seq[Expression]) => ArrayScaleDivide(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(TextExpressions.getClass.getCanonicalName, "graft_minhash"),
+      (es: Seq[Expression]) => TextExpressions.MinHashSignature(es.head)))
   }
 }

@@ -55,8 +55,18 @@ object TextOps {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature (k values) over a set of hashed shingles:
-    * mh_i = min over h of (a_i*h + b_i) mod P. Row-local. */
-  def minhashSignature(hashes: Column): Column = {
+    * mh_i = min over h of (a_i*h + b_i) mod P. Row-local; computed by
+    * the native `graft_minhash` expression — one codegen'd loop
+    * produces all k mins (the fold variant below runs 8 interpreted
+    * `aggregate` lambdas per row). Requires TextExpressions.register
+    * (done in Tables.ensureConf). */
+  def minhashSignature(hashes: Column): Column =
+    call_function("graft_minhash", hashes)
+
+  /** The composed-built-ins form of [[minhashSignature]] — identical
+    * arithmetic (spec cross-checked); kept as the no-custom-expression
+    * fallback and as the executable spec of what the native loop does. */
+  def minhashSignatureFold(hashes: Column): Column = {
     val mins = MinhashA.zip(MinhashB).map { case (a, b) =>
       aggregate(hashes, lit(P),
         (acc, h) => least(acc, pmod(h * a + b, lit(P))))

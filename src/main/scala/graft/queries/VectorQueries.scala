@@ -65,7 +65,9 @@ object VectorQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val e = load(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+        // unrolled cast (codegen'd): `transform` runs interpreted per
+        // element; float→double widening is exact either way
+        .select(col("vec_id"), toDoublesUnrolled(col("embedding"), Dims).as("v"))
       e.withColumn("bucket", lshBucket(col("v"), 8, Dims))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))

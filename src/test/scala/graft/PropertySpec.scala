@@ -125,6 +125,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_minhash equals the composed-built-ins fold") {
+    forAll(Gen.listOfN(10, word)) { ws =>
+      whenever(ws.nonEmpty) {
+        val df = Seq(ws).toDF("toks")
+          .select(transform(col("toks"), t => TextOps.stringHash(t)).as("hs"))
+        val native = df.select(TextOps.minhashSignature(col("hs")))
+          .as[Seq[Long]].head()
+        val fold = df.select(TextOps.minhashSignatureFold(col("hs")))
+          .as[Seq[Long]].head()
+        assert(native === fold)
+      }
+    }
+    // empty set: both sides are the fold identity (P per permutation)
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(transform(col("toks"), t => TextOps.stringHash(t)).as("hs"))
+    assert(empty.select(TextOps.minhashSignature(col("hs")))
+      .as[Seq[Long]].head() === Seq.fill(8)(TextOps.P))
+  }
+
   test("simhashGrouped equals row-local simhash for any token set") {
     forAll(Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
       whenever(rs.nonEmpty) {

@@ -23,6 +23,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.TextExpressions.register(s)
     s
   }
 }

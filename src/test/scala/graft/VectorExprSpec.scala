@@ -82,13 +82,13 @@ class VectorExprSpec extends SparkSpec {
       l.contains("*(") && l.contains("graft_dot")))
   }
 
-  test("GraftExtensions injects both functions into a fresh extension set") {
+  test("GraftExtensions injects every native function into a fresh extension set") {
     // the hook cluster deployments reach via
     // spark.sql.extensions=graft.functions.GraftExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
-      === Set("graft_dot", "graft_scale_div"))
+      === Set("graft_dot", "graft_scale_div", "graft_minhash"))
   }
 
   test("SQL surface works after registration") {
