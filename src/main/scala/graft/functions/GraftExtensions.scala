@@ -20,8 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_scale_div"),
       info("graft_scale_div"),
       (es: Seq[Expression]) => ArrayScaleDivide(es(0), es(1))))
+    def tinfo(name: String) =
+      new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(TextExpressions.getClass.getCanonicalName, "graft_minhash"),
+      tinfo("graft_minhash"),
       (es: Seq[Expression]) => TextExpressions.MinHashSignature(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      tinfo("graft_shingle_hashes"),
+      (es: Seq[Expression]) => TextExpressions.ShingleHashes(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_word_hashes60"),
+      tinfo("graft_word_hashes60"),
+      (es: Seq[Expression]) => TextExpressions.WordHashes60(es.head)))
   }
 }

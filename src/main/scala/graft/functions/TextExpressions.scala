@@ -81,19 +81,141 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Shared digest kernel: md5 of the UTF-8 bytes, first 15 hex chars
+    * as a 60-bit value — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (first 8 digest bytes
+    * big-endian, logical-shifted one nibble). */
+  private def md5Bits60(md: java.security.MessageDigest,
+      s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val be = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct word-3-gram shingles of a word array, hashed. Static so
+    * the generated code calls one shared kernel (no per-element lambda
+    * interpretation); semantics are exactly
+    * `array_distinct(shingles3(words))` then per-shingle
+    * `stringHash` (mod P) / `stringHash60` (raw 60 bits):
+    * first-occurrence order, whole-doc shingle when < 3 words. */
+  def shingleHashKernel(words: ArrayData, modP: Boolean): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n >= 3) {
+      var i = 0
+      while (i + 2 < n) {
+        seen.add(UTF8String.concatWs(Space,
+          words.getUTF8String(i), words.getUTF8String(i + 1),
+          words.getUTF8String(i + 2)))
+        i += 1
+      }
+    } else {
+      val parts = (0 until n).map(words.getUTF8String)
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val h = md5Bits60(md, it.next())
+      out(j) = if (modP) h % TextOps.P else h
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Distinct words of a word array, hashed (the SimHash input shape):
+    * `array_distinct(words)` then per-word hash, first-occurrence
+    * order. */
+  def wordHashKernel(words: ArrayData, modP: Boolean): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < n) { seen.add(words.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val h = md5Bits60(md, it.next())
+      out(j) = if (modP) h % TextOps.P else h
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Base class for the two hash-set expressions: array<string> →
+    * array<long>, evaluated through one static kernel call (present in
+    * both interpreted and generated paths). */
+  abstract class HashSetExpr extends UnaryExpression {
+    protected def kernelName: String
+    protected def kernel(a: ArrayData): ArrayData
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${dt.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.TextExpressions.$kernelName($a);"
+      })
+  }
+
+  /** shingle_hashes(words) → distinct-3-gram stringHash values. */
+  case class ShingleHashes(child: Expression) extends HashSetExpr {
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def kernelName: String = "shingleHashesModP"
+    override protected def kernel(a: ArrayData): ArrayData = shingleHashesModP(a)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** word_hashes60(words) → distinct-word stringHash60 values. */
+  case class WordHashes60(child: Expression) extends HashSetExpr {
+    override def prettyName: String = "graft_word_hashes60"
+    override protected def kernelName: String = "wordHashes60"
+    override protected def kernel(a: ArrayData): ArrayData = wordHashes60(a)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // static entry points for the generated code (fixed signatures)
+  def shingleHashesModP(a: ArrayData): ArrayData = shingleHashKernel(a, modP = true)
+  def wordHashes60(a: ArrayData): ArrayData = wordHashKernel(a, modP = false)
+
   /** Idempotent session-level registration (same pattern as
     * [[VectorExpressions.register]]). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_minhash")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(
-        id,
-        new ExpressionInfo(TextExpressions.getClass.getCanonicalName, "graft_minhash"),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 1, "graft_minhash expects 1 argument")
-          MinHashSignature(exprs.head)
-        })
+    def reg1(name: String, build: Expression => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(
+          id,
+          new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name),
+          (exprs: Seq[Expression]) => {
+            require(exprs.length == 1, s"$name expects 1 argument")
+            build(exprs.head)
+          })
+      }
     }
+    reg1("graft_minhash", MinHashSignature)
+    reg1("graft_shingle_hashes", ShingleHashes)
+    reg1("graft_word_hashes60", WordHashes60)
   }
 }

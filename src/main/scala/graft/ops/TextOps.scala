@@ -54,6 +54,19 @@ object TextOps {
   def stringHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** `array_distinct(shingles3(words)) → stringHash each`, as ONE
+    * native kernel call (graft.functions.TextExpressions) instead of
+    * an interpreted transform-over-sequence + per-shingle expression
+    * chain. Bit-identical to the composed form (PropertySpec).
+    * Requires TextExpressions.register (done in Tables.ensureConf). */
+  def shingleHashes(wordsCol: Column): Column =
+    call_function("graft_shingle_hashes", wordsCol)
+
+  /** `array_distinct(words) → stringHash60 each`, native kernel —
+    * the SimHash input shape. */
+  def wordHashes60(wordsCol: Column): Column =
+    call_function("graft_word_hashes60", wordsCol)
+
   /** MinHash signature (k values) over a set of hashed shingles:
     * mh_i = min over h of (a_i*h + b_i) mod P. Row-local; computed by
     * the native `graft_minhash` expression — one codegen'd loop

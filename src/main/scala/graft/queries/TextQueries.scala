@@ -196,17 +196,18 @@ object TextQueries {
       // query's 20 s). The cache boundary stops the pushdown, so the
       // derivation runs once, post-exchange, on all cores, and the
       // inferred filter evaluates against the cached array.
-      val base = d.select(col("doc_id"),
-        array_distinct(shingles3(words(col("text")))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // join key = stringHash(shingle): an 8-byte long instead of a
       // ~25-byte string — smaller exchange, cheaper hash probes; the
-      // oracle hashes identically so collisions (if any) agree.
+      // oracle hashes identically so collisions (if any) agree. The
+      // shingle+hash derivation is the native graft_shingle_hashes
+      // kernel (one call per row, no interpreted transform).
+      val base = d.select(col("doc_id"),
+        shingleHashes(words(col("text"))).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // persist: consumed by the hot-set aggregate, per-doc counts,
-      // and both join sides — the interpreted shingle transform would
-      // otherwise re-run per consumer.
-      val ex = base.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"), stringHash(col("s0")).as("s"))
+      // and both join sides — the derivation would otherwise re-run
+      // per consumer.
+      val ex = base.select(col("doc_id"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select("s")
@@ -268,8 +269,7 @@ object TextQueries {
       // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val base = d.select(col("doc_id"),
-        transform(array_distinct(shingles3(words(col("text")))), s => stringHash(s))
-          .as("hs"))
+        shingleHashes(words(col("text"))).as("hs"))
         .withColumn("sig", minhashSignature(col("hs")))
       val bands = base.select(col("doc_id"), col("hs"),
         explode(array((0 until 4).map(j =>
@@ -350,9 +350,7 @@ object TextQueries {
       // (the inferred size(wh)>0 filter would re-derive the word hashes
       // below the exchange on the single scan split)
       val base = simhashGrouped(
-        d.select(col("doc_id"),
-          transform(array_distinct(words(col("text"))), w => stringHash60(w))
-            .as("wh"))
+        d.select(col("doc_id"), wordHashes60(words(col("text"))).as("wh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         "doc_id", "wh", 60)
       val bands = base.select(col("doc_id"), col("sim"),

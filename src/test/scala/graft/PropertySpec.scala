@@ -125,6 +125,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native shingle/word hash kernels equal the composed built-ins") {
+    forAll(Gen.listOfN(6, Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))) { texts =>
+      val df = texts.toDF("text")
+      val viaKernel = df.select(
+        TextOps.shingleHashes(TextOps.words(col("text"))).as("sh"),
+        TextOps.wordHashes60(TextOps.words(col("text"))).as("wh"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      val viaBuiltins = df.select(
+        transform(array_distinct(TextOps.shingles3(TextOps.words(col("text")))),
+          s => TextOps.stringHash(s)).as("sh"),
+        transform(array_distinct(TextOps.words(col("text"))),
+          w => TextOps.stringHash60(w)).as("wh"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      assert(viaKernel.toSeq === viaBuiltins.toSeq)
+    }
+  }
+
   test("native graft_minhash equals the composed-built-ins fold") {
     forAll(Gen.listOfN(10, word)) { ws =>
       whenever(ws.nonEmpty) {
