@@ -120,4 +120,32 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
+
+  test("dedup candidate joins are equi-joins, never nested-loop") {
+    // the blocked designs (LSH bands / inverted index / simhash bands)
+    // must compile to hash-partitioned equi-joins; a refactor that
+    // degenerates to BroadcastNestedLoopJoin/CartesianProduct would be
+    // all-pairs at cluster scale
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+        "q_dedup_simhash", "q_dedup_emb_cosine")) {
+      val plan = planString(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q_multimodal_frames stays shuffle-free (row-local chain)") {
+    // decode → resize → frame-sample is embarrassingly parallel; an
+    // Exchange here would mean payload bytes or frames shuffle
+    val plan = planString("q_multimodal_frames")
+    assert(!plan.contains("Exchange"), "multimodal chain acquired a shuffle")
+  }
+
+  test("q_star_fact resolves against broadcast dims") {
+    // the resolution cascade joins the catalog-sized dim lookups by
+    // broadcast; the stage-sized side must never shuffle for them
+    val plan = planString("q_star_fact")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "dim lookups lost their broadcast")
+  }
 }
