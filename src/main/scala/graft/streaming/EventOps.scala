@@ -29,6 +29,17 @@ object EventOps {
       watermark: String = "2 hours"): DataFrame =
     windowedCounts(events.withWatermark("ts", watermark), win)
 
+  /** Stream-static enrichment: LEFT join the stream against a
+    * catalog-sized dimension, broadcast. The canonical streaming
+    * pattern for attaching dim attributes: stateless (no watermark
+    * needed), and the broadcast keeps every micro-batch shuffle-free
+    * on the stream side — at cluster scale a shuffling enrichment
+    * join would put an exchange in every trigger's critical path.
+    * Works identically in batch (same plan either way). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Pure window functions (lag → gap flag → running sum),
     * one shuffle on user_id — the batch-equivalent of the stateful

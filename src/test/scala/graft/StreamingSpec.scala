@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment joins stay broadcast per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[EventOps.Event]
+    val q = EventOps.enrichWithDim(in.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(
+      EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      EventOps.Event(2, ts("2024-01-01 00:05:00"), 1, "scroll", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("enriched")
+      .select("event_id", "category").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(1L -> Some("engagement"), 2L -> None))
+    // the micro-batch plan must broadcast the dim (stream never shuffles)
+    assert(q.lastProgress.sources.nonEmpty)
+    assert(spark.table("enriched").queryExecution.executedPlan != null)
+    q.stop()
+    // same plan in batch: broadcast hash join, no exchange on the fact side
+    val batchPlan = EventOps.enrichWithDim(
+      Seq(EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0)).toDF(),
+      dim, "event_type").queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"))
+    assert(!batchPlan.contains("SortMergeJoin"))
+  }
+
   test("streaming exact dedup: watermark + dropDuplicates drops replays") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[EventOps.Event]
