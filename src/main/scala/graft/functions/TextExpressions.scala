@@ -36,18 +36,24 @@ object TextExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash"
 
+    // null elements are SKIPPED, matching the fold: in the composed
+    // form `least(acc, pmod(null*a+b, P))` evaluates to least(acc,
+    // null), and Spark's least ignores nulls — a null hash never
+    // tightens any permutation min
     override protected def nullSafeEval(input: Any): Any = {
       val xs = input.asInstanceOf[ArrayData]
       val mins = Array.fill(k)(TextOps.P)
       val n = xs.numElements()
       var i = 0
       while (i < n) {
-        val h = xs.getLong(i)
-        var j = 0
-        while (j < k) {
-          val v = (TextOps.MinhashA(j) * h + TextOps.MinhashB(j)) % TextOps.P
-          if (v < mins(j)) mins(j) = v
-          j += 1
+        if (!xs.isNullAt(i)) {
+          val h = xs.getLong(i)
+          var j = 0
+          while (j < k) {
+            val v = (TextOps.MinhashA(j) * h + TextOps.MinhashB(j)) % TextOps.P
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
         }
         i += 1
       }
@@ -70,8 +76,10 @@ object TextExpressions {
         java.util.Arrays.fill($m, ${p}L);
         int $n = $a.numElements();
         for (int $i = 0; $i < $n; $i++) {
-          long $h = $a.getLong($i);
-          $perPerm
+          if (!$a.isNullAt($i)) {
+            long $h = $a.getLong($i);
+            $perPerm
+          }
         }
         ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($m);
         """
@@ -134,14 +142,19 @@ object TextExpressions {
 
   /** Distinct words of a word array, hashed (the SimHash input shape):
     * `array_distinct(words)` then per-word hash, first-occurrence
-    * order. */
+    * order. Null elements are skipped — the composed form would emit a
+    * null hash element instead, but a null token carries no signature
+    * signal, and every engine-side producer (`words`) is null-free. */
   def wordHashKernel(words: ArrayData, modP: Boolean): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = words.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
-    while (i < n) { seen.add(words.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      if (!words.isNullAt(i)) seen.add(words.getUTF8String(i))
+      i += 1
+    }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -72,15 +72,24 @@ object Multimodal {
       .drop("__m")
 
   /** Uniform frame sampling: up to k frames at indices
-    * i*(n_frames-1) div (k-1) (all frames when n_frames ≤ k). REAL
-    * logic: the stride arithmetic is what a video pipeline hands the
-    * demuxer; indices are strictly increasing, so no dedup needed.
-    * Row-local explode — frames multiply rows, payloads stay behind. */
-  def sampleFrames(df: DataFrame, k: Int): DataFrame =
+    * i*(n_frames-1) div (k-1) (all frames when n_frames ≤ k; frame 0
+    * when k = 1). REAL logic: the stride arithmetic is what a video
+    * pipeline hands the demuxer; indices are strictly increasing, so
+    * no dedup needed. Rows with n_frames ≤ 0 (a corrupt/empty asset
+    * from a real decoder) produce no frames — the `when` guard matters
+    * because `sequence(0, -1)` would otherwise count DOWNWARD and emit
+    * two garbage indices. Row-local explode — frames multiply rows,
+    * payloads stay behind. */
+  def sampleFrames(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"sampleFrames needs k >= 1, got $k")
+    val stride = math.max(k - 1, 1) // k=1: i is only ever 0 → frame 0
     df.withColumn("__i",
-        explode(sequence(lit(0), least(col("n_frames"), lit(k)) - 1)))
+        explode(when(col("n_frames") >= 1,
+            sequence(lit(0), least(col("n_frames"), lit(k)) - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame_idx",
         when(col("n_frames") <= k, col("__i"))
-          .otherwise(expr(s"CAST((__i * (n_frames - 1)) DIV ${k - 1} AS INT)")))
+          .otherwise(expr(s"CAST((__i * (n_frames - 1)) DIV $stride AS INT)")))
       .drop("__i")
+  }
 }

@@ -134,5 +134,11 @@ class OpsSpec extends SparkSpec {
     assert(f(2L).sorted === Seq(0, 1, 2))     // n ≤ k: every frame
     assert(f(3L).sorted === Seq(0))
     assert(f(4L).sorted === Seq(0, 1, 2, 4))  // n=5: floor(4i/3)
+    // corrupt asset (n_frames=0): no rows, NOT sequence(0,-1) garbage
+    val z = Seq((9L, 10, 10, 0)).toDF("doc_id", "width", "height", "n_frames")
+    assert(Multimodal.sampleFrames(Multimodal.fitSquare(z, 224), 4).count() === 0)
+    // k=1 degenerates to "first frame only", no div-by-zero
+    assert(Multimodal.sampleFrames(Multimodal.fitSquare(d, 224), 1)
+      .select("frame_idx").as[Int].collect().toSeq.forall(_ == 0))
   }
 }

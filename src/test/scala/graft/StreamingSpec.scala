@@ -118,9 +118,12 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "category").as[(Long, Option[String])]
       .collect().toMap
     assert(got === Map(1L -> Some("engagement"), 2L -> None))
-    // the micro-batch plan must broadcast the dim (stream never shuffles)
-    assert(q.lastProgress.sources.nonEmpty)
-    assert(spark.table("enriched").queryExecution.executedPlan != null)
+    // the MICRO-BATCH plan itself must broadcast the dim — the stream
+    // side never shuffles inside a trigger
+    val microBatchPlan = org.apache.spark.sql.StreamingPlanBridge.lastBatchPlan(q)
+    assert(microBatchPlan.contains("BroadcastHashJoin"),
+      s"micro-batch lost the broadcast:\n$microBatchPlan")
+    assert(!microBatchPlan.contains("SortMergeJoin"))
     q.stop()
     // same plan in batch: broadcast hash join, no exchange on the fact side
     val batchPlan = EventOps.enrichWithDim(

@@ -65,6 +65,20 @@ class TextVectorSpec extends SparkSpec {
     assert(math.abs(az - 3.0 / math.sqrt(14.0)) < 1e-12)
   }
 
+  test("planeWeightConst equals the Column-form planeWeight it replaced") {
+    // lshBucket folds the LCG weights to double literals; this pins the
+    // folded constants to the executable Column spec so neither copy
+    // can drift silently
+    val pairs = for (p <- 0 until 8; d <- Seq(0, 1, 31, 63)) yield (p, d)
+    val viaColumn = spark.range(1).select(pairs.map { case (p, d) =>
+      VectorOps.planeWeight(lit(p), lit(d), 64).as(s"w_${p}_$d")
+    }: _*).first()
+    pairs.zipWithIndex.foreach { case ((p, d), i) =>
+      assert(viaColumn.getDouble(i) === VectorOps.planeWeightConst(p, d, 64),
+        s"plane $p dim $d")
+    }
+  }
+
   test("lshBucket: deterministic, in range, sensitive to direction") {
     val df = Seq(
       (1L, Seq.fill(8)(1f)), (2L, Seq.fill(8)(1f)), (3L, Seq.fill(8)(-1f))
