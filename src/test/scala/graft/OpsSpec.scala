@@ -117,6 +117,22 @@ class OpsSpec extends SparkSpec {
     assert(back.count() == 1000)
   }
 
+  test("approx sketches track exact aggregates within their error bounds") {
+    // q_approx_sketches is rows-only at the oracle (engine-specific
+    // estimates); this pins the estimates to the exact values locally
+    val df = spark.range(10000).select(
+      (col("id") % 1000).as("k"), col("id").cast("double").as("v"))
+      .repartition(4) // force partial-agg sketch merges across partitions
+    val row = df.agg(
+      approx_count_distinct(col("k")).as("ad"),
+      percentile_approx(col("v"), lit(0.5), lit(1000)).as("ap"),
+      expr("percentile(v, 0.5)").as("ep")).first()
+    val ad = row.getLong(0)
+    assert(math.abs(ad - 1000L) <= 100, s"HLL estimate $ad vs exact 1000")
+    val (ap, ep) = (row.getDouble(1), row.getDouble(2))
+    assert(math.abs(ap - ep) <= 100.0, s"approx median $ap vs exact $ep")
+  }
+
   test("Multimodal.fitSquare letterboxes exactly; sampleFrames strides strictly") {
     val d = Seq((1L, 509, 251, 7), (2L, 100, 200, 3), (3L, 1, 1, 1),
       (4L, 224, 224, 5)).toDF("doc_id", "width", "height", "n_frames")
