@@ -23,7 +23,8 @@ object TextQueries {
     "q_text_tokens",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val w = words(col("text"))
       d.select(col("doc_id"),
         length(col("text")).as("n_chars_meas"),
@@ -45,7 +46,8 @@ object TextQueries {
     "q_text_quality",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val w = words(col("text"))
       val nW = size(w)
       val nC = length(col("text"))
@@ -80,7 +82,8 @@ object TextQueries {
     "q_text_langid",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val w = words(col("text"))
       val sDe = vocabHits(w, Seq("der", "die", "das", "und", "ist", "nicht"))
       val sEn = vocabHits(w, Seq("the", "a", "and", "of", "is", "to"))
@@ -121,12 +124,20 @@ object TextQueries {
     "q_text_fingerprint",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val d = load(spark, dir, "documents")
-      val sh = shingles3(words(col("text")))
-      d.select(col("doc_id"),
-        fingerprintMd5(col("text")).as("fp_md5"),
-        size(array_distinct(sh)).as("n_shingles"),
-        array_min(transform(sh, s => stringHash(s))).as("min_shingle_hash"))
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // the native kernel's distinct-hash array gives both outputs:
+      // its length = |distinct shingles| (dedup happens on the shingle
+      // strings), and its min = min over ALL shingle hashes (min is
+      // duplicate-blind). Stacked projection so the kernel runs once,
+      // not once per consumer. (count()-pruned benching hid this
+      // query's interpreted transform at 16 s — see DEVLOG r2.)
+      d.select(col("doc_id"), col("text"),
+          shingleHashes(words(col("text"))).as("hs"))
+        .select(col("doc_id"),
+          fingerprintMd5(col("text")).as("fp_md5"),
+          size(col("hs")).as("n_shingles"),
+          array_min(col("hs")).as("min_shingle_hash"))
     },
     Some("""WITH s AS (
       SELECT doc_id, text,

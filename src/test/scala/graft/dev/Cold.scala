@@ -23,10 +23,12 @@ object Cold {
     }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
-      q(spark, dir).count(); clearState() // warmup
+      def runFully(): Unit =
+        q(spark, dir).write.mode("overwrite").format("noop").save()
+      runFully(); clearState() // warmup
       val ts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        q(spark, dir).count()
+        runFully()
         val dt = (System.nanoTime() - t0) / 1e9
         clearState()
         dt
