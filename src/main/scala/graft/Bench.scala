@@ -60,25 +60,31 @@ object Bench {
     // documented CPU-steal stalls, so a single pass can read 10-30x
     // slow; the median of 3 back-to-back runs rejects one-off stalls.
     val passes = 3
+    // A failing query must NOT flatter the total as a ~0 s timing: its
+    // entry is reported as -1 and its name listed in "failed".
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val timings: Map[String, Seq[Double]] = names.map { name =>
       val ts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { runFully(name) }
-        catch { case _: Throwable => () }
+        val ok = try { runFully(name); true }
+          catch { case _: Throwable => failed += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearState()
-        dt
+        if (ok) dt else -1.0
       }
       name -> ts.sorted
     }.toMap
     val med = timings.map { case (k, ts) => k -> ts(passes / 2) }
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (med.nonEmpty) med.values.sum else 0.0
-    val minTotal = timings.values.map(_.head).sum
-    val maxTotal = timings.values.map(_.last).sum
+    def sumValid(sel: Map[String, Seq[Double]] => Iterable[Double]): Double =
+      sel(timings).filter(_ >= 0).sum
+    val total = sumValid(_.values.map(_.apply(passes / 2)))
+    val minTotal = sumValid(_.values.map(_.head))
+    val maxTotal = sumValid(_.values.map(_.last))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibEnd = calibMs()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of 3 passes; host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of 3 passes (-1 = query failed, excluded from totals, named in failed); host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
     spark.stop()
   }
 }

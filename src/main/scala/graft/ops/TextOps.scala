@@ -57,7 +57,11 @@ object TextOps {
   /** `array_distinct(shingles3(words)) → stringHash each`, as ONE
     * native kernel call (graft.functions.TextExpressions) instead of
     * an interpreted transform-over-sequence + per-shingle expression
-    * chain. Bit-identical to the composed form (PropertySpec).
+    * chain. Bit-identical to the composed form (PropertySpec) for
+    * non-null input; a NULL words array null-propagates (the composed
+    * form would give the whole-doc empty shingle [""], and the DuckDB
+    * list_distinct drops NULLs for 0 — the three disagreed before this
+    * kernel existed; fixture text is non-null, so none of them fires).
     * Requires TextExpressions.register (done in Tables.ensureConf). */
   def shingleHashes(wordsCol: Column): Column =
     call_function("graft_shingle_hashes", wordsCol)

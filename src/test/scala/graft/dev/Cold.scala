@@ -23,6 +23,8 @@ object Cold {
     }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
+      // keep in lockstep with graft.Bench.runFully — both harnesses
+      // must execute the full plan the same way or they diverge
       def runFully(): Unit =
         q(spark, dir).write.mode("overwrite").format("noop").save()
       runFully(); clearState() // warmup
