@@ -270,6 +270,33 @@ object AnalyticsQueries {
         ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC)"""),
     "Ranking family: rank / dense_rank / ntile / percent_rank")
 
+  /** Grouped top-k via the mergeable TopKAgg aggregator: top 3 orders
+    * per priority by price. Same rows as the row_number window (the
+    * oracle), but aggregated map-side — each task ships ≤ k rows per
+    * group to the shuffle instead of sorting the whole table, the
+    * per-key-top-k shape that survives 100 TB. The array result is
+    * exploded back to rows so the compare stays scalar-typed. */
+  val qTopkPerKey = Q(
+    "q_topk_per_key",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(topk(cents("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"), col("t._2").as("o_orderkey"),
+          col("t._1").as("price_cents"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, c AS price_cents FROM (
+      SELECT o_orderpriority, o_orderkey,
+        CAST(round(o_totalprice*100) AS BIGINT) AS c,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3"""),
+    "Grouped top-k: mergeable aggregator, map-side partial (vs window sort)")
+
   /** Positional explode: token + 0-based position per document (the
     * generator/table-function family; posexplode = UNNEST WITH
     * ORDINALITY). Row-local expansion — order comes from the array,
@@ -293,5 +320,5 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
-    qEventsJson, qWindowRanks, qArrayPos)
+    qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos)
 }

@@ -121,6 +121,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("q_topk_per_key aggregates the top-k map-side (no window sort)") {
+    val plan = planString("q_topk_per_key")
+    // typed-udaf top-k: ObjectHashAggregate partial + final around the
+    // exchange, and NO Window node — the whole point is that the group's
+    // rows never get shuffled and sorted
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("Window"), "top-k fell back to a window sort")
+  }
+
   test("dedup candidate joins are equi-joins, never nested-loop") {
     // the blocked designs (LSH bands / inverted index / simhash bands)
     // must compile to hash-partitioned equi-joins; a refactor that

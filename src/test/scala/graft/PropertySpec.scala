@@ -60,6 +60,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKAgg equals sort-and-take on arbitrary data, any merge split") {
+    val agg = new graft.functions.TopKAgg(3)
+    val pairs = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 100L)))
+    forAll(Gen.zip(pairs, Gen.choose(0, 25))) { case (xs, cut) =>
+      val want = xs.sortBy { case (v, id) => (-v, id) }.take(3)
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded) === want)
+      // merge law: any split of the input merges to the same top-k
+      val (l, r) = xs.splitAt(math.min(cut, xs.size))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === want)
+    }
+  }
+
   test("Keys.sha is deterministic and order-sensitive") {
     forAll(word, word) { (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
