@@ -172,6 +172,68 @@ object VectorQueries {
       FROM c) WHERE rank <= 10"""),
     "Similarity search scale path: IVF/LSH-bucketed approximate top-k")
 
+  /** The DuckDB mirror of two Lloyd rounds (seed → assign → update →
+    * assign → cluster stats). Centroid means come from integer sums
+    * (order-independent, so Spark's parallel aggregation agrees
+    * exactly); the metric is the same left-assoc double formula both
+    * engines evaluate over those exact integers. */
+  private def sqlKmeans: String = {
+    val dotVqC = (1 to Dims).map(i => s"vq[$i]*c[$i]").mkString(" + ")
+    val sums = (1 to Dims).map(i => s"sum(vq[$i])").mkString(", ")
+    s"""WITH $sqlNormalizedCte,
+    q AS (SELECT vec_id,
+      [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series(1, $Dims)] AS vq
+      FROM n),
+    seeds AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM q QUALIFY j < 4),
+    c0 AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds),
+    c0h AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0),
+    a1 AS (SELECT vec_id, vq, j AS cluster FROM (
+        SELECT q.vec_id, q.vq, t.j, ($dotVqC) - t.hn AS m
+        FROM q CROSS JOIN c0h t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
+    u AS (SELECT cluster AS j, COUNT(*) AS n, [$sums] AS s FROM a1 GROUP BY cluster),
+    c1 AS (SELECT cl.j,
+        CASE WHEN u.j IS NULL THEN c0x.c
+             ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $Dims)]
+        END AS c
+      FROM (SELECT unnest(generate_series(0, 3)) AS j) cl
+      LEFT JOIN u ON u.j = cl.j
+      JOIN c0 c0x ON c0x.j = cl.j),
+    c1h AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1),
+    a2 AS (SELECT vec_id, j AS cluster FROM (
+        SELECT q.vec_id, t.j, ($dotVqC) - t.hn AS m
+        FROM q CROSS JOIN c1h t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)
+    SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vecs,
+      min(vec_id) AS min_vec_id
+    FROM a2 GROUP BY cluster"""
+  }
+
+  /** K-means (Lloyd) training over the embeddings — the IVF coarse
+    * quantizer's training step (q_ann_ivf_topk uses fixed hyperplanes;
+    * real IVF trains its cells). k=4, two assignment rounds; output is
+    * the final cluster histogram. Assignment is row-local (centroids
+    * are plan literals), the update is one map-side-combinable integer
+    * shuffle, and only k rows reach the driver — see ops.KMeans for
+    * why the integer-space aggregation makes an exact cross-engine
+    * oracle possible. */
+  val qKmeansLloyd = Q(
+    "q_kmeans_lloyd",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"),
+          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+        // seeds + update + final assignment each act on this lineage
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.KMeans.lloydAssign(e, "vq", "vec_id", 4, Dims, 2, "cluster")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+    },
+    Some(sqlKmeans),
+    "K-means Lloyd training (IVF quantizer): row-local assign, integer-exact update")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
-    qAnnIvfTopk)
+    qAnnIvfTopk, qKmeansLloyd)
 }

@@ -130,6 +130,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "top-k fell back to a window sort")
   }
 
+  test("q_kmeans_lloyd assigns row-locally (centroids are literals, no join)") {
+    val plan = planString("q_kmeans_lloyd")
+    // assignment folds centroids into the projection: the corpus never
+    // joins or shuffles for it; the only exchange is the final stats agg
+    assert(!plan.contains("Join"), "k-means assignment became a join")
+    assert(!plan.contains("Window"), "k-means assignment became a window")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
   test("dedup candidate joins are equi-joins, never nested-loop") {
     // the blocked designs (LSH bands / inverted index / simhash bands)
     // must compile to hash-partitioned equi-joins; a refactor that

@@ -75,6 +75,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMeans.lloydAssign matches a sequential Lloyd reference") {
+    import graft.ops.KMeans
+    // small integer coordinates keep every product exact in doubles, so
+    // the naive reference's arithmetic agrees as long as the fold order
+    // matches (both are left-assoc)
+    val vecGen = Gen.listOfN(3, Gen.choose(-50L, 50L)).map(_.toArray)
+    val dataGen = Gen.listOfN(24, vecGen)
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong * 3 + 1, v) })
+
+    def refLloyd(rows: Seq[(Long, Array[Long])], k: Int, iters: Int): Map[Long, Int] = {
+      def hn(c: Array[Double]) = c.map(x => x * x).sum / 2
+      var cents: Seq[Array[Double]] =
+        rows.sortBy(_._1).take(k).map(_._2.map(_.toDouble))
+      def assignAll: Map[Long, Int] = rows.map { case (id, v) =>
+        val ms = cents.map(c =>
+          v.indices.map(i => v(i) * c(i)).foldLeft(0.0)(_ + _) - hn(c))
+        id -> ms.zipWithIndex.reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
+      }.toMap
+      (0 until iters - 1).foreach { _ =>
+        val a = assignAll
+        val byC = rows.groupBy(r => a(r._1))
+        cents = cents.zipWithIndex.map { case (prev, j) =>
+          byC.get(j).fold(prev) { g =>
+            val n = g.size
+            Array.tabulate(3)(i => g.map(_._2(i)).sum.toDouble / n)
+          }
+        }
+      }
+      assignAll
+    }
+
+    forAll(dataGen, 6) { rows =>
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "vq")
+      val got = KMeans.lloydAssign(df, "vq", "vec_id", 2, 3, 2, "cluster")
+        .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+      assert(got === refLloyd(rows, 2, 2))
+    }
+  }
+
   test("Keys.sha is deterministic and order-sensitive") {
     forAll(word, word) { (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
