@@ -527,7 +527,161 @@ object TextQueries {
     FROM dedup GROUP BY pred_lang"""),
     "Flagship corpus pipeline: quality filter → lang-ID → dedup → stats")
 
+  /** Deterministic stratified sampling — the corpus-rebalancing
+    * primitive (downsample the dominant language, keep the tails).
+    * Membership is content-addressed (md5 of a salted doc id →
+    * bucket in [0, 10000)), so the sample is reproducible across
+    * runs, engines, and cluster layouts — no RNG state, no
+    * `sample()` nondeterminism. Row-local filter: zero shuffles,
+    * scales embarrassingly. Salt "smpl:" decorrelates the sampling
+    * hash from every other md5-derived key in the engine. */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val bucket = pmod(
+        stringHash(concat(lit("smpl:"), col("doc_id").cast("string"))),
+        lit(10000L))
+      val rate = when(col("lang") === "en", lit(2000L)).otherwise(lit(6000L))
+      d.select(col("doc_id"), col("lang"), col("source"),
+          bucket.as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "source", "bucket")
+    },
+    Some("""WITH h AS (
+      SELECT doc_id, lang, source,
+        (CAST(('0x'||substr(md5('smpl:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+          % 2147483647) % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source, bucket FROM h
+    WHERE bucket < CASE WHEN lang = 'en' THEN 2000 ELSE 6000 END"""),
+    "Stratified sampling: deterministic hash buckets, per-stratum rates")
+
+  /** Benchmark decontamination — drop training documents that leak
+    * eval-set content. The benchmark set (here: every 50th doc) is
+    * shingled and BROADCAST — eval suites are tiny by nature, so the
+    * corpus side never shuffles for the probe; the per-doc hit count
+    * is a map-side-combinable aggregate on the doc id. Output: every
+    * contaminated doc with its overlap evidence (shared 3-gram
+    * count + basis-point overlap). */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // persist: pushdown barrier for the shingle derivation (see
+      // q_dedup_ngram_jaccard) + reused by bench side, corpus side,
+      // and the per-doc shingle counts.
+      val base = d.select(col("doc_id"),
+        shingleHashes(words(col("text"))).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = base.select(col("doc_id"), explode(col("hs")).as("s"))
+      val bench = ex.filter(col("doc_id") % 50 === 0).select("s").distinct()
+      val corpus = ex.filter(col("doc_id") % 50 =!= 0)
+      val nn = base.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+      corpus.join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .join(nn, Seq("doc_id"))
+        .select(col("doc_id"), col("n_hits"), col("n_sh"),
+          round(lit(10000.0) * col("n_hits") / col("n_sh"))
+            .cast("long").as("contam_bp"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3
+          THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+          ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)),
+    e0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+    e AS (SELECT doc_id,
+      CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s
+      FROM e0),
+    bench AS (SELECT DISTINCT s FROM e WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, s FROM e WHERE doc_id % 50 != 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hits
+      FROM corpus JOIN bench USING (s) GROUP BY 1),
+    nn AS (SELECT doc_id, len(sh) AS n_sh FROM d WHERE doc_id % 50 != 0)
+    SELECT doc_id, n_hits, n_sh,
+      CAST(round(10000.0 * n_hits / n_sh) AS BIGINT) AS contam_bp
+    FROM hits JOIN nn USING (doc_id)"""),
+    "Decontamination: broadcast benchmark shingles, per-doc overlap evidence")
+
+  /** Within-document repetition signals (the Gopher-style quality
+    * gate): duplicate-word fraction and top-word share, both in basis
+    * points. Computed distributed — explode words, grouped counts —
+    * not as a per-row quadratic list fold: two combinable shuffles
+    * ((doc, word) then doc), so a pathological 1 GB document costs
+    * its token count, not its token count squared. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val w = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val cnt = w.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      cnt.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_c"),
+          round(lit(10000.0) * (col("n_words") - col("n_distinct")) / col("n_words"))
+            .cast("long").as("dup_word_bp"),
+          round(lit(10000.0) * col("top_c") / col("n_words"))
+            .cast("long").as("top_word_bp"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct, MAX(c) AS top_c
+      FROM c GROUP BY 1)
+    SELECT doc_id, n_words, n_distinct, top_c,
+      CAST(round(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT) AS dup_word_bp,
+      CAST(round(10000.0 * top_c / n_words) AS BIGINT) AS top_word_bp
+    FROM a"""),
+    "Repetition signals: dup-word + top-word share via grouped counts")
+
+  /** Token-budget chunk packing — the sequence-packing step of a
+    * pretraining pipeline: assign documents to fixed-budget bins
+    * (256 BPE-ish tokens) in deterministic order within each source
+    * shard. Distributed form: running token total per source
+    * (one window shuffle, parallel across sources) and
+    * `bin = floor(cum_before / budget)` — the streaming-friendly
+    * approximation of greedy packing (greedy's close-on-overflow rule
+    * is inherently sequential; this form is one window and at 100 TB
+    * packs per (source, day/shard) partition so no single window
+    * partition is unbounded). */
+  val qChunkPack = Q(
+    "q_chunk_pack",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val t = d.select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("(cum - n_tok) div 256").as("bin_id"))
+    },
+    Some("""SELECT doc_id, source, n_tok, (cum - n_tok) // 256 AS bin_id FROM (
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok,
+        CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT))
+          OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+      FROM documents)"""),
+    "Sequence packing: running-total token bins per source shard")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
-    qDedupSimhash, qCorpusPipeline, qMinhashSketch)
+    qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
+    qDecontaminate, qTextRepetition, qChunkPack)
 }

@@ -234,6 +234,48 @@ object VectorQueries {
     Some(sqlKmeans),
     "K-means Lloyd training (IVF quantizer): row-local assign, integer-exact update")
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression step that makes a 100 TB vector corpus servable
+    * (4× smaller than float32, SIMD-friendly dot products downstream).
+    * Per vector: scale = max|x| (guarded), q_i = round(127·x_i/scale)
+    * — entirely row-local unrolled codegen'd expressions, zero
+    * shuffles. Output is integer evidence of the quantization (scale
+    * in 1e-6 units, sum of quantized values, clip/zero counts), never
+    * raw doubles, so the cross-engine compare is exact. */
+  val qVecQuantize = Q(
+    "q_vec_quantize",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "embeddings")
+      val xs = (1 to Dims).map(i => element_at(col("embedding"), i).cast("double"))
+      // 1e-30 guard: a zero vector quantizes to all-zero instead of NaN;
+      // mirrored verbatim in the oracle so the arithmetic stays identical
+      val a = greatest(greatest(xs.map(abs): _*), lit(1e-30))
+      val qs = xs.map(x => round(x * 127.0 / a).cast("long"))
+      e.select(col("vec_id"),
+        round(a * 1000000.0).cast("long").as("amax_e6"),
+        qs.reduce(_ + _).as("sum_q"),
+        qs.map(q => when(abs(q) === 127L, 1L).otherwise(0L)).reduce(_ + _).as("n_clip"),
+        qs.map(q => when(q === 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_zero"))
+    },
+    Some {
+      val absArgs = (1 to Dims).map(i => s"abs(v[$i])").mkString(", ")
+      val qCols = (1 to Dims).map(i => s"round(v[$i]*127.0/amax) AS q$i").mkString(", ")
+      val sumQ = (1 to Dims).map(i => s"q$i").mkString(" + ")
+      val nClip = (1 to Dims).map(i => s"(CASE WHEN abs(q$i) = 127 THEN 1 ELSE 0 END)").mkString(" + ")
+      val nZero = (1 to Dims).map(i => s"(CASE WHEN q$i = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      a AS (SELECT vec_id, v, greatest(greatest($absArgs), 1e-30) AS amax FROM e),
+      q AS (SELECT vec_id, amax, $qCols FROM a)
+      SELECT vec_id,
+        CAST(round(amax*1000000.0) AS BIGINT) AS amax_e6,
+        CAST($sumQ AS BIGINT) AS sum_q,
+        CAST($nClip AS BIGINT) AS n_clip,
+        CAST($nZero AS BIGINT) AS n_zero
+      FROM q"""
+    },
+    "Int8 embedding quantization: row-local scale + clamp, integer evidence")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
-    qAnnIvfTopk, qKmeansLloyd)
+    qAnnIvfTopk, qKmeansLloyd, qVecQuantize)
 }

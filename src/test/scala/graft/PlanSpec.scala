@@ -166,4 +166,23 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       "dim lookups lost their broadcast")
   }
+
+  test("q_sample_stratified is shuffle-free (row-local hash filter)") {
+    // deterministic sampling must cost a scan and nothing else — an
+    // Exchange would mean the sampler shuffles the whole corpus
+    val plan = planString("q_sample_stratified")
+    assert(!plan.contains("Exchange"), "sampler acquired a shuffle")
+  }
+
+  test("q_vec_quantize is shuffle-free (row-local quantization)") {
+    val plan = planString("q_vec_quantize")
+    assert(!plan.contains("Exchange"), "quantizer acquired a shuffle")
+  }
+
+  test("q_decontaminate broadcasts the benchmark shingle set") {
+    // eval suites are tiny; the corpus side must probe a broadcast,
+    // never shuffle for the contamination join
+    val plan = planString("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side lost its broadcast")
+  }
 }

@@ -123,4 +123,75 @@ class TextVectorSpec extends SparkSpec {
       .select(TextOps.nonAsciiCount(col("t"))).as[Int].first()
     assert(zh == 2)
   }
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("q_sample_stratified: buckets under the per-stratum rate, en downsampled") {
+    val s = SparkEntry.queries("q_sample_stratified")(spark, Sf)
+      .select($"lang", $"bucket").as[(String, Long)].collect()
+    assert(s.nonEmpty)
+    s.foreach { case (lang, b) =>
+      val rate = if (lang == "en") 2000L else 6000L
+      assert(b >= 0 && b < rate, s"bucket $b out of range for $lang")
+    }
+    // en is the dominant stratum in the fixture but samples at 1/3 the
+    // rate — the rebalancing must actually bite
+    val byLang = s.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("en", 0) < byLang.filter(_._1 != "en").values.sum)
+  }
+
+  test("q_decontaminate: benchmark docs never flagged, evidence consistent") {
+    val rows = SparkEntry.queries("q_decontaminate")(spark, Sf)
+      .select($"doc_id", $"n_hits", $"n_sh", $"contam_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, hits, nSh, bp) =>
+      assert(id % 50 != 0, s"benchmark doc $id flagged as contaminated")
+      assert(hits >= 1 && hits <= nSh, s"doc $id: hits $hits vs shingles $nSh")
+      assert(bp == math.round(10000.0 * hits / nSh))
+    }
+  }
+
+  test("q_text_repetition: bp identities hold per doc") {
+    val rows = SparkEntry.queries("q_text_repetition")(spark, Sf)
+      .select($"n_words", $"n_distinct", $"top_c", $"dup_word_bp", $"top_word_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d, top, dupBp, topBp) =>
+      assert(d <= n && top <= n && top >= 1)
+      assert(dupBp == math.round(10000.0 * (n - d) / n))
+      assert(topBp == math.round(10000.0 * top / n))
+      assert(topBp >= math.round(10000.0 / d))
+    }
+  }
+
+  test("q_chunk_pack: bins contiguous from 0 per source, cum consistent") {
+    val rows = SparkEntry.queries("q_chunk_pack")(spark, Sf)
+      .select($"source", $"doc_id", $"n_tok", $"bin_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, id, nTok, bin) =>
+        assert(bin == cum / 256, s"$src doc $id: bin $bin, cum-before $cum")
+        cum += nTok
+      }
+      assert(sorted.head._4 == 0, s"$src does not start at bin 0")
+    }
+  }
+
+  test("q_vec_quantize: clip/zero/sum bounds per vector") {
+    val rows = SparkEntry.queries("q_vec_quantize")(spark, Sf)
+      .select($"amax_e6", $"sum_q", $"n_clip", $"n_zero")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (amax, sumQ, clip, zero) =>
+      assert(amax > 0)
+      // the max-|x| element always quantizes to ±127
+      assert(clip >= 1 && clip <= 64)
+      assert(zero >= 0 && zero <= 63)
+      assert(math.abs(sumQ) <= 127L * 64)
+    }
+  }
 }
