@@ -318,7 +318,135 @@ object AnalyticsQueries {
         FROM documents WHERE doc_id % 10 = 0))"""),
     "Positional explode (posexplode / UNNEST WITH ORDINALITY)")
 
+  /** Correlation / covariance / stddev via integer-exact sums. The
+    * naive route (`corr()`, `stddev()`) accumulates doubles whose
+    * result depends on partition merge order — unreproducible across
+    * engines AND across two runs of the same cluster job. Instead the
+    * grouped aggregate ships six exact longs (n, Σx, Σy, Σx², Σy²,
+    * Σxy — one map-side-combinable shuffle, same trick as
+    * ops.KMeans), and the statistics fall out of the textbook
+    * formulas in ONE deterministic double expression per group.
+    * x = quantity units, y = whole dollars, both ≤ 2^53 at any
+    * realistic scale so the long→double casts are exact. */
+  val qStatsCorr = Q(
+    "q_stats_corr",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice")).cast("long")
+      val g = load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val corr = (nD * sxyD - sxD * syD) /
+        (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
+      val covar = (sxyD - sxD * syD / nD) / (nD - 1)
+      val sdx = sqrt((sxxD - sxD * sxD / nD) / (nD - 1))
+      val sdy = sqrt((syyD - syD * syD / nD) / (nD - 1))
+      g.select(col("l_returnflag"), col("n"),
+        round(corr * 10000).cast("long").as("corr_bp"),
+        round(covar * 100).cast("long").as("covar_e2"),
+        round(sdx * 100).cast("long").as("sd_qty_e2"),
+        round(sdy * 100).cast("long").as("sd_price_e2"))
+    },
+    Some("""WITH g AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM (SELECT l_returnflag,
+        CAST(round(l_quantity) AS BIGINT) AS x,
+        CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+      GROUP BY 1)
+    SELECT l_returnflag, n,
+      CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000) AS BIGINT) AS corr_bp,
+      CAST(round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1) * 100) AS BIGINT) AS covar_e2,
+      CAST(round(sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_qty_e2,
+      CAST(round(sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_price_e2
+    FROM g"""),
+    "Correlation/covariance/stddev from integer-exact mergeable sums")
+
+  /** Ordered string aggregation (LISTAGG / string_agg): the per-key
+    * event-sequence view (here: each customer's order-status history
+    * in date order). Spark lacks an ordered collect — sorting the
+    * collected struct array inside the aggregate output recovers a
+    * deterministic order under any partition merge; the sort key
+    * (date, orderkey) is total, so the result is engine-independent.
+    * One combinable shuffle on the group key; per-group arrays are
+    * order-history-sized, not corpus-sized. */
+  val qListagg = Q(
+    "q_listagg",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+      o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("o_orderdate"),
+                col("o_orderkey"), col("o_orderstatus")))),
+              s => s.getField("o_orderstatus")),
+            ",").as("status_seq"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+      string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS status_seq
+      FROM orders GROUP BY o_custkey"""),
+    "Ordered string aggregation (LISTAGG) with a total sort key")
+
+  /** Gap-filling — sparse per-key series → dense (every month between
+    * each customer's first and last order, zero-filled). The dense
+    * axis is SYNTHESIZED per key (sequence + explode over integer
+    * month indexes), never cross-joined against a global calendar —
+    * per-key output is bounded by the key's own span, and the fill
+    * join is a co-partitioned equi-join on (key, month). Integer
+    * month index (year*12 + month-1) keeps the axis arithmetic exact
+    * in any engine. */
+  val qGapfill = Q(
+    "q_gapfill",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders").filter(col("o_custkey") % 25 === 0)
+      val m = o.select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("midx"),
+        cents("o_totalprice").as("cents"))
+      val agg = m.groupBy("o_custkey", "midx")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val dense = agg.groupBy("o_custkey")
+        .agg(min(col("midx")).as("lo"), max(col("midx")).as("hi"))
+        .select(col("o_custkey"), explode(sequence(col("lo"), col("hi"))).as("midx"))
+      dense.join(agg, Seq("o_custkey", "midx"), "left")
+        .select(col("o_custkey"), col("midx"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+    },
+    Some("""WITH m AS (
+      SELECT o_custkey,
+        year(o_orderdate)*12 + (month(o_orderdate)-1) AS midx,
+        CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 25 = 0),
+    a AS (SELECT o_custkey, midx, COUNT(*) AS n_orders,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM m GROUP BY 1, 2),
+    s AS (SELECT o_custkey, min(midx) AS lo, max(midx) AS hi FROM a GROUP BY 1),
+    d0 AS (SELECT o_custkey, unnest(generate_series(lo, hi)) AS midx FROM s)
+    SELECT d0.o_custkey, d0.midx,
+      coalesce(a.n_orders, 0) AS n_orders,
+      coalesce(a.sum_cents, 0) AS sum_cents
+    FROM d0 LEFT JOIN a ON d0.o_custkey = a.o_custkey AND d0.midx = a.midx"""),
+    "Gap-filling: per-key dense month axis, co-partitioned zero-fill join")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
-    qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos)
+    qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
+    qListagg, qGapfill)
 }

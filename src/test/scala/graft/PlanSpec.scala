@@ -185,4 +185,19 @@ class PlanSpec extends SparkSpec {
     val plan = planString("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), "benchmark side lost its broadcast")
   }
+
+  test("q_stats_corr ships six longs per group, aggregated map-side") {
+    // the whole point of the integer-sum formulation is partial
+    // aggregation: each task emits one row of sums per group
+    val plan = planString("q_stats_corr")
+    assert(plan.contains("partial_"), "stats sums lost map-side combine")
+    assert(!plan.contains("corr("), "fell back to double-accumulating corr()")
+  }
+
+  test("q_gapfill joins the dense axis co-partitioned, no cartesian") {
+    val plan = planString("q_gapfill")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "gap-fill degenerated to a cross join")
+  }
 }

@@ -181,6 +181,33 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("q_listagg: sequence length matches order count (single-char statuses)") {
+    val rows = SparkEntry.queries("q_listagg")(spark, Sf)
+      .select($"n_orders", $"status_seq").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, seq) =>
+      assert(seq.length == 2 * n - 1, s"'$seq' vs $n orders")
+    }
+  }
+
+  test("q_gapfill: axis dense per key, fill preserves totals") {
+    val rows = SparkEntry.queries("q_gapfill")(spark, Sf)
+      .select($"o_custkey", $"midx", $"n_orders")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, ms) =>
+      val idx = ms.map(_._2).sorted
+      assert(idx.last - idx.head + 1 == idx.length, s"customer $k axis has gaps")
+      assert(idx.distinct.length == idx.length, s"customer $k axis has dups")
+    }
+    // zero-filled rows exist (the fixture has sparse months) and every
+    // original order is accounted for
+    assert(rows.exists(_._3 == 0L))
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .filter($"o_custkey" % 25 === 0).count()
+    assert(rows.map(_._3).sum == o)
+  }
+
   test("q_vec_quantize: clip/zero/sum bounds per vector") {
     val rows = SparkEntry.queries("q_vec_quantize")(spark, Sf)
       .select($"amax_e6", $"sum_q", $"n_clip", $"n_zero")
