@@ -131,6 +131,13 @@ object TextOps {
   /** Exact content fingerprint: md5 hex of the canonical text. */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
+  /** Deterministic sampling bucket in [0, n): salted md5 of the key.
+    * Content-addressed (no RNG state), so a sample is reproducible
+    * across runs, engines, and batch/streaming — the filter is
+    * stateless and watermark-free by construction. */
+  def sampleBucket(key: Column, salt: String, n: Long): Column =
+    pmod(stringHash(concat(lit(salt), key.cast("string"))), lit(n))
+
   /** BPE-ish token count: letter runs, digit runs, single punctuation
     * marks — the standard pre-tokenizer shape. */
   def bpeishTokenCount(c: Column): Column =

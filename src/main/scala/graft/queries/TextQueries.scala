@@ -540,9 +540,7 @@ object TextQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val d = load(spark, dir, "documents")
-      val bucket = pmod(
-        stringHash(concat(lit("smpl:"), col("doc_id").cast("string"))),
-        lit(10000L))
+      val bucket = sampleBucket(col("doc_id"), "smpl:", 10000L)
       val rate = when(col("lang") === "en", lit(2000L)).otherwise(lit(6000L))
       d.select(col("doc_id"), col("lang"), col("source"),
           bucket.as("bucket"), rate.as("rate"))

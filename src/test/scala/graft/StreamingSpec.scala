@@ -181,6 +181,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampler is stateless-streaming-safe: stream == batch sample") {
+    // the content-addressed sample filter needs no state or watermark,
+    // so the same expression runs unchanged over a stream and selects
+    // exactly the rows the batch query selects, regardless of batching
+    implicit val sc = spark.sqlContext
+    import graft.ops.TextOps
+    val in = MemoryStream[(Long, String)]
+    def sampled(df: org.apache.spark.sql.DataFrame) = {
+      val b = TextOps.sampleBucket(col("_1"), "smpl:", 10000L)
+      val rate = when(col("_2") === "en", lit(2000L)).otherwise(lit(6000L))
+      df.select(col("_1").as("id"), col("_2").as("lang"), b.as("bucket"))
+        .filter(col("bucket") < rate)
+    }
+    val q = sampled(in.toDF())
+      .writeStream.format("memory").queryName("stream_sample")
+      .outputMode("append").start()
+    val rows = (1L to 400L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    in.addData(rows.take(150): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(150): _*) // second micro-batch: same filter
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_sample")
+    val want = sampled(rows.toDF())
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("batch sessionizeBatch agrees with the session boundaries above") {
     val events = Seq(
       EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
