@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -130,24 +130,112 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exactly Spark's `round(x)` for doubles (Round expression:
+    * shortest-decimal BigDecimal, HALF_UP) followed by the long cast —
+    * the native kernel must reproduce it bit-for-bit or it diverges
+    * from the composed form the DuckDB oracle was verified against. */
+  def roundHalfUpToLong(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** graft_quantize(vec): symmetric int8 quantization statistics as
+    * ONE generated loop — struct(amax_e6, sum_q, n_clip, n_zero).
+    * The unrolled-built-ins form of the same math is a 192-term
+    * projection whose generated method exceeds HotSpot's JIT size
+    * limit and runs in the bytecode interpreter (~120 µs/row measured
+    * at sf0.1); the loop form is a normal hot method. Arithmetic is
+    * bit-identical to the unrolled form (PropertySpec pins it):
+    * amax = max(|x_i|, 1e-30), q_i = round_half_up(x_i·127/amax). */
+  case class QuantizeStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${child.dataType.simpleString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("amax_e6", LongType, nullable = false),
+      StructField("sum_q", LongType, nullable = false),
+      StructField("n_clip", LongType, nullable = false),
+      StructField("n_zero", LongType, nullable = false)))
+    override def prettyName: String = "graft_quantize"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val f = elemType(child) == FloatType
+      val n = xs.numElements()
+      var amax = 1e-30; var i = 0
+      while (i < n) {
+        val v = math.abs(if (f) xs.getFloat(i).toDouble else xs.getDouble(i))
+        if (v > amax) amax = v
+        i += 1
+      }
+      var sumQ = 0L; var nClip = 0L; var nZero = 0L; i = 0
+      while (i < n) {
+        val x = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val q = roundHalfUpToLong(x * 127.0 / amax)
+        sumQ += q
+        if (math.abs(q) == 127L) nClip += 1
+        if (q == 0L) nZero += 1
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](roundHalfUpToLong(amax * 1000000.0), sumQ, nClip, nZero))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (elemType(child) == FloatType) "getFloat" else "getDouble"
+      val helper = "graft.functions.VectorExpressions.roundHalfUpToLong"
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val amax = ctx.freshName("amax"); val v = ctx.freshName("v")
+        val q = ctx.freshName("q"); val sumQ = ctx.freshName("sumQ")
+        val nClip = ctx.freshName("nClip"); val nZero = ctx.freshName("nZero")
+        s"""
+        int $n = $a.numElements();
+        double $amax = 1e-30;
+        for (int $i = 0; $i < $n; $i++) {
+          double $v = java.lang.Math.abs((double) $a.$get($i));
+          if ($v > $amax) $amax = $v;
+        }
+        long $sumQ = 0L; long $nClip = 0L; long $nZero = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $q = $helper(((double) $a.$get($i)) * 127.0 / $amax);
+          $sumQ += $q;
+          if (java.lang.Math.abs($q) == 127L) $nClip++;
+          if ($q == 0L) $nZero++;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{
+            java.lang.Long.valueOf($helper($amax * 1000000.0)),
+            java.lang.Long.valueOf($sumQ),
+            java.lang.Long.valueOf($nClip),
+            java.lang.Long.valueOf($nZero)});
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotent session-level registration; `call_function` then makes
     * the expressions usable from the Column API without depending on
     * version-specific Column internals. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def reg2(name: String, build: Seq[Expression] => Expression): Unit = {
+    def regN(name: String, arity: Int, build: Seq[Expression] => Expression): Unit = {
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id)) {
         reg.registerFunction(
           id,
           new ExpressionInfo(VectorExpressions.getClass.getCanonicalName, name),
           (exprs: Seq[Expression]) => {
-            require(exprs.length == 2, s"$name expects 2 arguments")
+            require(exprs.length == arity, s"$name expects $arity arguments")
             build(exprs)
           })
       }
     }
-    reg2("graft_dot", es => ArrayDotProduct(es(0), es(1)))
-    reg2("graft_scale_div", es => ArrayScaleDivide(es(0), es(1)))
+    regN("graft_dot", 2, es => ArrayDotProduct(es(0), es(1)))
+    regN("graft_scale_div", 2, es => ArrayScaleDivide(es(0), es(1)))
+    regN("graft_quantize", 1, es => QuantizeStats(es(0)))
   }
 }

@@ -202,4 +202,25 @@ object VectorOps {
       1103515245L * (p.toLong * dims + d + 1) + 12345L, 2147483648L)
     x.toDouble / 2.147483648e9 - 0.5
   }
+
+  /** Int8-quantization statistics as composed built-ins — the
+    * executable spec of the native `graft_quantize` kernel
+    * (PropertySpec pins them equal). Returns the four aliased output
+    * columns; `amaxCol` must hold max(|x_i|, 1e-30) from a PREVIOUS
+    * projection (inlining it re-evaluates the greatest-of-dims subtree
+    * per term — the nested-wide-expression trap). */
+  def quantizeStatsUnrolled(emb: Column, amaxCol: Column, dims: Int): Seq[Column] = {
+    val xs = (1 to dims).map(i => element_at(emb, i).cast("double"))
+    val qs = xs.map(x => round(x * 127.0 / amaxCol).cast("long"))
+    Seq(
+      round(amaxCol * 1000000.0).cast("long").as("amax_e6"),
+      qs.reduce(_ + _).as("sum_q"),
+      qs.map(q => when(abs(q) === 127L, 1L).otherwise(0L)).reduce(_ + _).as("n_clip"),
+      qs.map(q => when(q === 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_zero"))
+  }
+
+  /** The amax input for [[quantizeStatsUnrolled]]. */
+  def quantizeAmax(emb: Column, dims: Int): Column =
+    greatest(greatest((1 to dims).map(i =>
+      abs(element_at(emb, i).cast("double"))): _*), lit(1e-30))
 }

@@ -322,26 +322,29 @@ object AnalyticsQueries {
     * naive route (`corr()`, `stddev()`) accumulates doubles whose
     * result depends on partition merge order — unreproducible across
     * engines AND across two runs of the same cluster job. Instead the
-    * grouped aggregate ships six exact longs (n, Σx, Σy, Σx², Σy²,
-    * Σxy — one map-side-combinable shuffle, same trick as
+    * grouped aggregate ships six exact integer sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy — one map-side-combinable shuffle, same trick as
     * ops.KMeans), and the statistics fall out of the textbook
     * formulas in ONE deterministic double expression per group.
-    * x = quantity units, y = whole dollars, both ≤ 2^53 at any
-    * realistic scale so the long→double casts are exact. */
+    * The squared sums accumulate as decimal(38,0) (DuckDB: HUGEINT) —
+    * int64 would overflow Σy² near ~10^12 rows of 10^5-dollar values,
+    * i.e. exactly the 100 TB regime; decimal sums stay exact and
+    * still combine map-side. */
   val qStatsCorr = Q(
     "q_stats_corr",
     (spark, dir) => {
       Tables.ensureConf(spark)
       val x = round(col("l_quantity")).cast("long")
       val y = round(col("l_extendedprice")).cast("long")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val g = load(spark, dir, "lineitem")
         .select(col("l_returnflag"), x.as("x"), y.as("y"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
       val nD = col("n").cast("double")
       val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
       val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
@@ -360,8 +363,8 @@ object AnalyticsQueries {
     Some("""WITH g AS (
       SELECT l_returnflag, COUNT(*) AS n,
         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
-        CAST(SUM(x*y) AS BIGINT) AS sxy
+        SUM(x*x) AS sxx, SUM(y*y) AS syy,
+        SUM(x*y) AS sxy
       FROM (SELECT l_returnflag,
         CAST(round(l_quantity) AS BIGINT) AS x,
         CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)

@@ -246,17 +246,17 @@ object VectorQueries {
     "q_vec_quantize",
     (spark, dir) => {
       Tables.ensureConf(spark)
+      // native graft_quantize kernel: the unrolled-built-ins form of
+      // this math is a 192-term projection whose generated method blows
+      // HotSpot's JIT size limit and runs interpreted (~120 µs/row
+      // measured at sf0.1); the one-loop expression is a normal hot
+      // method. PropertySpec pins native == unrolled == oracle.
       val e = load(spark, dir, "embeddings")
-      val xs = (1 to Dims).map(i => element_at(col("embedding"), i).cast("double"))
-      // 1e-30 guard: a zero vector quantizes to all-zero instead of NaN;
-      // mirrored verbatim in the oracle so the arithmetic stays identical
-      val a = greatest(greatest(xs.map(abs): _*), lit(1e-30))
-      val qs = xs.map(x => round(x * 127.0 / a).cast("long"))
       e.select(col("vec_id"),
-        round(a * 1000000.0).cast("long").as("amax_e6"),
-        qs.reduce(_ + _).as("sum_q"),
-        qs.map(q => when(abs(q) === 127L, 1L).otherwise(0L)).reduce(_ + _).as("n_clip"),
-        qs.map(q => when(q === 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_zero"))
+          call_function("graft_quantize", col("embedding")).as("qz"))
+        .select(col("vec_id"), col("qz.amax_e6").as("amax_e6"),
+          col("qz.sum_q").as("sum_q"), col("qz.n_clip").as("n_clip"),
+          col("qz.n_zero").as("n_zero"))
     },
     Some {
       val absArgs = (1 to Dims).map(i => s"abs(v[$i])").mkString(", ")

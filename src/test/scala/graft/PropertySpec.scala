@@ -216,6 +216,37 @@ class PropertySpec extends SparkSpec {
       .as[Seq[Long]].head() === Seq.fill(8)(TextOps.P))
   }
 
+  test("native graft_quantize equals the unrolled built-ins on the fixture") {
+    import graft.ops.VectorOps
+    val dims = 64
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = SparkEntry.queries("q_vec_quantize")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val unrolled = e
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.quantizeAmax(col("embedding"), dims).as("amax"))
+      .select(col("vec_id") +:
+        VectorOps.quantizeStatsUnrolled(col("embedding"), col("amax"), dims): _*)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(native.length == unrolled.length && native.nonEmpty)
+    native.zip(unrolled).foreach { case (n, u) => assert(n === u) }
+  }
+
+  test("native graft_quantize matches a scala reference on arbitrary vectors") {
+    forAll(Gen.listOfN(8, Gen.choose(-4.0f, 4.0f))) { vec =>
+      val got = Seq(Tuple1(vec)).toDF("v")
+        .select(call_function("graft_quantize", col("v")).as("qz"))
+        .select(col("qz.amax_e6"), col("qz.sum_q"), col("qz.n_clip"), col("qz.n_zero"))
+        .as[(Long, Long, Long, Long)].head()
+      def rh(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val amax = math.max(vec.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max), 1e-30)
+      val qs = vec.map(x => rh(x.toDouble * 127.0 / amax))
+      assert(got === ((rh(amax * 1000000.0), qs.sum,
+        qs.count(q => math.abs(q) == 127L).toLong, qs.count(_ == 0L).toLong)))
+    }
+  }
+
   test("simhashGrouped equals row-local simhash for any token set") {
     forAll(Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
       whenever(rs.nonEmpty) {
