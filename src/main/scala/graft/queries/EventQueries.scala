@@ -235,7 +235,52 @@ object EventQueries {
     FROM u GROUP BY 1, 2"""),
     "Sliding event-time windows (1h window, 30min slide)")
 
+  /** Range (interval) join via bucket decomposition. A naive
+    * `t.sec BETWEEN w.start AND w.end` join is a nested-loop /
+    * cartesian plan — quadratic and unshippable at scale. The scale
+    * shape: decompose each interval into the fixed-width buckets it
+    * overlaps (here: days; ≤ ceil(len/bucket)+1 rows per interval),
+    * equi-join on (key, bucket) — hash-shuffled, bounded fan-out —
+    * then apply the exact range predicate as a cheap post-filter.
+    * Windows here are derived from the data (every 7th day per event
+    * type, [day+6h, day+66h)); the oracle runs the same join as a
+    * plain range predicate, proving the decomposition is lossless.
+    * All arithmetic in epoch seconds — exact in any engine. */
+  val qJoinRange = Q(
+    "q_join_range",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = load(spark, dir, "events")
+        .select(col("event_type"), col("ts").cast("long").as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("sec div 86400"))
+      val wins = e.select(col("event_type"), col("day").as("wday"))
+        .filter(col("wday") % 7 === 0).distinct()
+      // each 60h window [wday·86400+21600, wday·86400+237600) overlaps
+      // exactly days wday..wday+2
+      val buckets = wins.select(col("event_type"), col("wday"),
+        explode(sequence(col("wday"), col("wday") + 2)).as("day"))
+      e.join(buckets, Seq("event_type", "day"))
+        .filter(col("sec") >= col("wday") * 86400 + 21600 &&
+          col("sec") < col("wday") * 86400 + 237600)
+        .groupBy("event_type", "wday")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        CAST(round(value*100) AS BIGINT) AS cents
+      FROM events),
+    d AS (SELECT event_type, sec // 86400 AS day, sec, cents FROM e),
+    w AS (SELECT DISTINCT event_type, day AS wday FROM d WHERE day % 7 = 0)
+    SELECT w.event_type, w.wday, COUNT(*) AS n_events,
+      CAST(SUM(d.cents) AS BIGINT) AS sum_cents
+    FROM w JOIN d ON d.event_type = w.event_type
+      AND d.sec >= w.wday*86400 + 21600
+      AND d.sec < w.wday*86400 + 237600
+    GROUP BY 1, 2"""),
+    "Range/interval join via day-bucket decomposition (equi-join + post-filter)")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
     qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling, qEventsFunnel,
-    qEventsSliding)
+    qEventsSliding, qJoinRange)
 }

@@ -678,8 +678,44 @@ object TextQueries {
       FROM documents)"""),
     "Sequence packing: running-total token bins per source shard")
 
+  /** First iteration of BPE tokenizer training: count adjacent
+    * character pairs across the corpus, weighted by word frequency —
+    * the argmax pair is the first merge rule. Distributed shape: the
+    * word histogram first (one combinable shuffle collapses the corpus
+    * to its vocabulary), THEN pair expansion over the vocabulary only
+    * (corpus-size-independent), then the weighted pair aggregate.
+    * Expanding pairs per word-instance instead of per vocab entry
+    * would blow the explode up by the corpus/vocab ratio. */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val vocab = d.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val pairs = vocab.select(col("c"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      pairs.groupBy("pair").agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some("""WITH w AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS c FROM w
+      WHERE length(word) >= 2 GROUP BY 1),
+    pl AS (SELECT c,
+        [substr(word, i, 2) FOR i IN generate_series(1, length(word)-1)] AS ps
+      FROM vocab),
+    p AS (SELECT c, unnest(ps) AS pair FROM pl)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM p
+    GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20"""),
+    "BPE training step: corpus-weighted adjacent-pair counts over the vocabulary")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
-    qDecontaminate, qTextRepetition, qChunkPack)
+    qDecontaminate, qTextRepetition, qChunkPack, qBpePairs)
 }

@@ -200,4 +200,18 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "gap-fill degenerated to a cross join")
   }
+
+  test("q_join_range decomposes to an equi-join, never a nested loop") {
+    // the entire point of day-bucket decomposition: the range predicate
+    // must ride on a hash-joinable equi-condition, not drive the join
+    val plan = planString("q_join_range")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a nested loop:\n" + plan)
+    assert(plan.contains("Join"), "expected a join in the plan")
+  }
+
+  test("q_bpe_pairs fuses its top-20 into TakeOrderedAndProject") {
+    assert(planString("q_bpe_pairs").contains("TakeOrderedAndProject"))
+  }
 }
