@@ -208,6 +208,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join: views attach to clicks within 30 min") {
+    // both sides watermarked + a time-bound join condition = Spark can
+    // bound the join state and drop expired rows; without the interval
+    // bound a stream-stream join's state grows forever
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[EventOps.Event]
+    val views = MemoryStream[EventOps.Event]
+    val c = clicks.toDF()
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val v = views.toDF()
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = c.join(v,
+      expr("user_id = v_user AND v_ts >= c_ts AND v_ts <= c_ts + interval 30 minutes"))
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    clicks.addData(
+      EventOps.Event(10, ts("2024-01-01 01:00:00"), 1, "click", 0.0),
+      EventOps.Event(11, ts("2024-01-01 03:00:00"), 2, "click", 0.0))
+    views.addData(
+      EventOps.Event(20, ts("2024-01-01 01:10:00"), 1, "view", 0.0), // in bound
+      EventOps.Event(21, ts("2024-01-01 01:50:00"), 1, "view", 0.0), // out (>30m)
+      EventOps.Event(22, ts("2024-01-01 03:05:00"), 2, "view", 0.0), // in bound
+      EventOps.Event(23, ts("2024-01-01 03:05:00"), 3, "view", 0.0)) // wrong user
+    q.processAllAvailable()
+    // second micro-batch: a late-but-in-watermark view still joins
+    views.addData(
+      EventOps.Event(24, ts("2024-01-01 03:10:00"), 2, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L), (11L, 22L), (11L, 24L)))
+  }
+
   test("batch sessionizeBatch agrees with the session boundaries above") {
     val events = Seq(
       EventOps.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
