@@ -135,7 +135,11 @@ object VectorExpressions {
     * the native kernel must reproduce it bit-for-bit or it diverges
     * from the composed form the DuckDB oracle was verified against. */
   def roundHalfUpToLong(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+    // Spark's RoundBase passes NaN/Infinity through (BigDecimal.valueOf
+    // would throw); the scala toLong then matches the non-ANSI
+    // double→long cast: NaN→0, ±Inf→Long.Max/MinValue
+    if (v.isNaN || v.isInfinite) v.toLong
+    else java.math.BigDecimal.valueOf(v)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** graft_quantize(vec): symmetric int8 quantization statistics as

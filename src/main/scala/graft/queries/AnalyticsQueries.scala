@@ -349,16 +349,24 @@ object AnalyticsQueries {
       val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
       val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
       val sxyD = col("sxy").cast("double")
-      val corr = (nD * sxyD - sxD * syD) /
-        (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
+      // degenerate-group guards, mirrored verbatim in the oracle: n>=2
+      // (HAVING) keeps n-1 positive; zero-variance groups get NULL corr
+      // (DuckDB would error casting the NaN/Inf, Spark would silently
+      // emit 0 — both wrong); greatest(...,0) absorbs the tiny negative
+      // a zero-variance group's double rounding can produce under sqrt
+      val varx = nD * sxxD - sxD * sxD
+      val vary = nD * syyD - syD * syD
+      val corr = (nD * sxyD - sxD * syD) / (sqrt(varx) * sqrt(vary))
       val covar = (sxyD - sxD * syD / nD) / (nD - 1)
-      val sdx = sqrt((sxxD - sxD * sxD / nD) / (nD - 1))
-      val sdy = sqrt((syyD - syD * syD / nD) / (nD - 1))
-      g.select(col("l_returnflag"), col("n"),
-        round(corr * 10000).cast("long").as("corr_bp"),
-        round(covar * 100).cast("long").as("covar_e2"),
-        round(sdx * 100).cast("long").as("sd_qty_e2"),
-        round(sdy * 100).cast("long").as("sd_price_e2"))
+      val sdx = sqrt(greatest(sxxD - sxD * sxD / nD, lit(0.0)) / (nD - 1))
+      val sdy = sqrt(greatest(syyD - syD * syD / nD, lit(0.0)) / (nD - 1))
+      g.filter(col("n") >= 2)
+        .select(col("l_returnflag"), col("n"),
+          when(varx > 0 && vary > 0, round(corr * 10000).cast("long"))
+            .otherwise(lit(null).cast("long")).as("corr_bp"),
+          round(covar * 100).cast("long").as("covar_e2"),
+          round(sdx * 100).cast("long").as("sd_qty_e2"),
+          round(sdy * 100).cast("long").as("sd_price_e2"))
     },
     Some("""WITH g AS (
       SELECT l_returnflag, COUNT(*) AS n,
@@ -368,14 +376,17 @@ object AnalyticsQueries {
       FROM (SELECT l_returnflag,
         CAST(round(l_quantity) AS BIGINT) AS x,
         CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
-      GROUP BY 1)
+      GROUP BY 1 HAVING COUNT(*) >= 2)
     SELECT l_returnflag, n,
-      CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-        / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-         * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000) AS BIGINT) AS corr_bp,
+      CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+            AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+        THEN CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+           * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000) AS BIGINT)
+        ELSE NULL END AS corr_bp,
       CAST(round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1) * 100) AS BIGINT) AS covar_e2,
-      CAST(round(sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_qty_e2,
-      CAST(round(sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_price_e2
+      CAST(round(sqrt(greatest(sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE, 0.0) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_qty_e2,
+      CAST(round(sqrt(greatest(syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE, 0.0) / (n::DOUBLE - 1)) * 100) AS BIGINT) AS sd_price_e2
     FROM g"""),
     "Correlation/covariance/stddev from integer-exact mergeable sums")
 

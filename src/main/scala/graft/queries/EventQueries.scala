@@ -250,10 +250,14 @@ object EventQueries {
     "q_join_range",
     (spark, dir) => {
       Tables.ensureConf(spark)
+      // persist: both the window derivation and the probe side consume
+      // this projection — without the cache the events scan (and the
+      // nanos-ts conversion) runs twice
       val e = load(spark, dir, "events")
         .select(col("event_type"), col("ts").cast("long").as("sec"),
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("day", expr("sec div 86400"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wins = e.select(col("event_type"), col("day").as("wday"))
         .filter(col("wday") % 7 === 0).distinct()
       // each 60h window [wday·86400+21600, wday·86400+237600) overlaps

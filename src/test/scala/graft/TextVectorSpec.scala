@@ -214,11 +214,15 @@ class TextVectorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (amax, sumQ, clip, zero) =>
-      assert(amax > 0)
-      // the max-|x| element always quantizes to ±127
-      assert(clip >= 1 && clip <= 64)
-      assert(zero >= 0 && zero <= 63)
+      // amax_e6 == 0 means the 1e-30 clamp floor fired (all-zero / sub-
+      // epsilon vector): everything quantizes to 0. Otherwise the
+      // max-|x| element always quantizes to ±127.
+      if (amax > 0) assert(clip >= 1 && clip <= 64)
+      else assert(clip == 0 && zero == 64)
+      assert(zero >= 0 && zero <= 64)
       assert(math.abs(sumQ) <= 127L * 64)
     }
+    // the fixture has real vectors — the genuine-scale branch must run
+    assert(rows.exists(_._1 > 0))
   }
 }
