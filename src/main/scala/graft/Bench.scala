@@ -59,7 +59,10 @@ object Bench {
     // 3 timed passes per query, report the median: the host has
     // documented CPU-steal stalls, so a single pass can read 10-30x
     // slow; the median of 3 back-to-back runs rejects one-off stalls.
-    val passes = 3
+    // 5, not 3: the host's steal stalls can blow 1-2 consecutive
+    // passes; a median of 5 rejects two outliers (observed: a 0.7 s
+    // query reading 6.9 s for a whole 3-pass window)
+    val passes = 5
     // A failing query must NOT flatter the total as a ~0 s timing: its
     // entry is reported as -1 and its name listed in "failed".
     val failed = scala.collection.mutable.LinkedHashSet[String]()
