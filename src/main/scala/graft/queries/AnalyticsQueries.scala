@@ -459,8 +459,41 @@ object AnalyticsQueries {
     FROM d0 LEFT JOIN a ON d0.o_custkey = a.o_custkey AND d0.midx = a.midx"""),
     "Gap-filling: per-key dense month axis, co-partitioned zero-fill join")
 
+  /** Frame-boundary window family: first_value / last_value /
+    * nth_value over the full-partition frame (unbounded both ways) —
+    * the per-entity "first order, latest order, second order" view.
+    * One shuffle on the partition key; the rn=1 filter collapses to a
+    * single row per key without a second aggregate. */
+  val qWindowFirstLast = Q(
+    "q_window_firstlast",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(spark, dir, "orders").select(col("o_custkey"),
+          row_number().over(w).as("rn"),
+          first(cents("o_totalprice")).over(full).as("first_cents"),
+          last(cents("o_totalprice")).over(full).as("last_cents"),
+          nth_value(cents("o_totalprice"), 2).over(full).as("second_cents"),
+          count(lit(1)).over(full).as("n_orders"))
+        .filter(col("rn") === 1).drop("rn")
+    },
+    Some("""SELECT o_custkey,
+      first_value(c) OVER wf AS first_cents,
+      last_value(c) OVER wf AS last_cents,
+      nth_value(c, 2) OVER wf AS second_cents,
+      COUNT(*) OVER wf AS n_orders
+      FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+        CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+      WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) = 1"""),
+    "Frame-boundary windows: first/last/nth_value over the full partition")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
-    qListagg, qGapfill)
+    qListagg, qGapfill, qWindowFirstLast)
 }
