@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_scale_div"),
       info("graft_scale_div"),
       (es: Seq[Expression]) => ArrayScaleDivide(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_quantize"),
+      info("graft_quantize"),
+      (es: Seq[Expression]) => QuantizeStats(es.head)))
     def tinfo(name: String) =
       new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),

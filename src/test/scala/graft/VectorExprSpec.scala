@@ -88,8 +88,8 @@ class VectorExprSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
-      === Set("graft_dot", "graft_scale_div", "graft_minhash",
-        "graft_shingle_hashes", "graft_word_hashes60"))
+      === Set("graft_dot", "graft_scale_div", "graft_quantize",
+        "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60"))
   }
 
   test("SQL surface works after registration") {
