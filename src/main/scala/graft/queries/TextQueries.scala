@@ -186,10 +186,11 @@ object TextQueries {
     * no dedup signal. Jaccard is computed over the capped sets on
     * both sides (numerator and denominator), mirrored exactly by the
     * oracle. */
-  val qDedupNgramJaccard = Q(
-    "q_dedup_ngram_jaccard",
-    (spark, dir) => {
-      Tables.ensureConf(spark)
+  /** The near-dup pair set (doc_a < doc_b, Jaccard ≥ 2000 bp) —
+    * shared by q_dedup_ngram_jaccard and the connected-components
+    * clustering built on top of it. */
+  private[queries] def ngramJaccardPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val DfCap = 1000
       // The fixture is one parquet row-group → one scan split, which
       // serializes the (expensive, row-local) shingle+md5 derivation on
@@ -239,8 +240,12 @@ object TextQueries {
             .cast("long"))
         .filter(col("jacc_bp") >= 2000)
         .select("doc_a", "doc_b", "shared", "jacc_bp")
-    },
-    Some("""WITH d AS (
+  }
+
+  /** DuckDB CTE chain producing the same pair set as
+    * [[ngramJaccardPairs]] (final CTE `jb`). Shared by the jaccard and
+    * connected-components oracles. */
+  private val sqlJaccardPairCtes: String = """d AS (
       SELECT doc_id,
         list_distinct(CASE WHEN len(w) >= 3
           THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
@@ -262,11 +267,21 @@ object TextQueries {
       SELECT doc_a, doc_b, shared, na.n AS na, nb.n AS nb
       FROM p
       JOIN nn na ON p.doc_a = na.doc_id
-      JOIN nn nb ON p.doc_b = nb.doc_id)
-    SELECT doc_a, doc_b, shared,
-      CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) AS jacc_bp
-    FROM j
-    WHERE CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) >= 2000"""),
+      JOIN nn nb ON p.doc_b = nb.doc_id),
+    jb AS (
+      SELECT doc_a, doc_b, shared,
+        CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) AS jacc_bp
+      FROM j
+      WHERE CAST(round(10000.0 * shared / (na + nb - shared)) AS BIGINT) >= 2000)"""
+
+  val qDedupNgramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      ngramJaccardPairs(spark, dir)
+    },
+    Some(s"""WITH $sqlJaccardPairCtes
+    SELECT doc_a, doc_b, shared, jacc_bp FROM jb"""),
     "Near-dedup: n-gram Jaccard, df-capped shingle inverted index")
 
   /** MinHash+LSH near-dedup: k=8 signature, 4 bands × 2 rows,
@@ -714,8 +729,70 @@ object TextQueries {
     GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20"""),
     "BPE training step: corpus-weighted adjacent-pair counts over the vocabulary")
 
+  /** Duplicate-cluster assembly: connected components over the
+    * near-dup pair graph (pairwise detection alone can't answer "which
+    * canonical doc replaces this one" — A~B and B~C must collapse to
+    * one cluster even when A~C was never scored). Distributed min-label
+    * propagation: each round is one aggregate + one join, labels only
+    * decrease, and the driver loops until a round changes nothing —
+    * the same driver-iterates / data-stays-distributed shape as
+    * ops.KMeans. Rounds needed = cluster diameter (tiny for dedup
+    * clusters; the label-doubling star variants cut it to O(log n) if
+    * a corpus ever produces long chains). Output: every clustered doc
+    * with its component id (= min doc id in the component), exactly
+    * what a canonical-replacement join consumes. The oracle computes
+    * the same components with a recursive transitive-closure CTE. */
+  val qDedupComponents = Q(
+    "q_dedup_components",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val pairs = ngramJaccardPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // symmetric edge list: propagation must flow both directions
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("u").as("vtx")).distinct()
+        .withColumn("comp", col("vtx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        // min label among each vertex's neighbors (one shuffle)...
+        val fromNeighbors = edges
+          .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
+          .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
+        // ...then keep the smaller of own and neighborhood label
+        val next = labels.join(fromNeighbors, Seq("vtx"), "left")
+          .select(col("vtx"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("vtx"))
+          .filter(col("comp") < col("prev")).isEmpty
+        labels.unpersist(false)
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("vtx").as("doc_id"), col("comp").as("component"))
+    },
+    Some(s"""WITH RECURSIVE $sqlJaccardPairCtes,
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jb
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jb),
+    reach(v, r) AS (
+      SELECT u AS v, u AS r FROM edges
+      UNION
+      SELECT e.u AS v, reach.r
+      FROM edges e JOIN reach ON reach.v = e.v)
+    SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v"""),
+    "Dup-cluster assembly: connected components via min-label propagation")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
-    qDecontaminate, qTextRepetition, qChunkPack, qBpePairs)
+    qDecontaminate, qTextRepetition, qChunkPack, qBpePairs,
+    qDedupComponents)
 }

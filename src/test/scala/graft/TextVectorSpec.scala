@@ -208,6 +208,23 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.map(_._3).sum == o)
   }
 
+  test("q_dedup_components: labels are consistent minima over the pair graph") {
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, Sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val comp = SparkEntry.queries("q_dedup_components")(spark, Sf)
+      .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty && comp.nonEmpty)
+    // every scored pair landed in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // the label is the smallest member, and itself a member
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c label is not its min member")
+      assert(comp(c) == c)
+    }
+  }
+
   test("q_vec_quantize: clip/zero/sum bounds per vector") {
     val rows = SparkEntry.queries("q_vec_quantize")(spark, Sf)
       .select($"amax_e6", $"sum_q", $"n_clip", $"n_zero")
