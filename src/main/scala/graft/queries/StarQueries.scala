@@ -199,14 +199,14 @@ object StarQueries {
     typ AS (
       SELECT *,
         CASE WHEN regexp_matches(fc, '^\d{2}/\d{2}/\d{4}$')
-               THEN strptime(fc, '%d/%m/%Y')::DATE
+               THEN try_strptime(fc, '%d/%m/%Y')::DATE
              WHEN regexp_matches(fc, '^\d{4}/\d{2}/\d{2}$')
-               THEN strptime(fc, '%Y/%m/%d')::DATE
+               THEN try_strptime(fc, '%Y/%m/%d')::DATE
              ELSE NULL END AS fromdate_parsed,
         CASE WHEN regexp_matches(tc, '^\d{2}/\d{2}/\d{4}$')
-               THEN strptime(tc, '%d/%m/%Y')::DATE
+               THEN try_strptime(tc, '%d/%m/%Y')::DATE
              WHEN regexp_matches(tc, '^\d{4}/\d{2}/\d{2}$')
-               THEN strptime(tc, '%Y/%m/%d')::DATE
+               THEN try_strptime(tc, '%Y/%m/%d')::DATE
              ELSE NULL END AS todate_parsed,
         upper(CASE WHEN regexp_matches(fuel, 'BATTERY|ELECTRIC') THEN 'ELECTRIC'
                    WHEN regexp_matches(fuel, 'PETROL|GASOLINE') THEN 'PETROL'
