@@ -380,7 +380,10 @@ object AnalyticsQueries {
     SELECT l_returnflag, n,
       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
-        THEN CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        -- TRY_CAST: DuckDB may evaluate this branch eagerly on rows the
+        -- guard excludes (same class as the star strptime flake); a
+        -- zero-variance group's NaN must become NULL, not an error
+        THEN TRY_CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
           / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000) AS BIGINT)
         ELSE NULL END AS corr_bp,
