@@ -754,8 +754,10 @@ object TextQueries {
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("u").as("vtx")).distinct()
-        .withColumn("comp", col("vtx"))
+      // seed labels with min(self, direct neighbors) — the first
+      // propagation round folded into initialization
+      var labels = edges.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u").as("vtx"), least(col("u"), col("nmin")).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var converged = false
       var rounds = 0
@@ -764,15 +766,17 @@ object TextQueries {
         val fromNeighbors = edges
           .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
           .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
-        // ...then keep the smaller of own and neighborhood label
+        // ...then keep the smaller of own and neighborhood label; the
+        // change flag rides along so ONE action per round both
+        // materializes the new labels and decides convergence
         val next = labels.join(fromNeighbors, Seq("vtx"), "left")
           .select(col("vtx"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("vtx"))
-          .filter(col("comp") < col("prev")).isEmpty
+        converged = next.filter(col("chg")).isEmpty
         labels.unpersist(false)
-        labels = next
+        labels = next.select(col("vtx"), col("comp"))
         rounds += 1
       }
       labels.select(col("vtx").as("doc_id"), col("comp").as("component"))
