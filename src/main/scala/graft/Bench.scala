@@ -56,9 +56,9 @@ object Bench {
       catch { case _: Throwable => () }
       clearState()
     }
-    // 3 timed passes per query, report the median: the host has
+    // timed passes per query, report the median: the host has
     // documented CPU-steal stalls, so a single pass can read 10-30x
-    // slow; the median of 3 back-to-back runs rejects one-off stalls.
+    // slow; the median of back-to-back runs rejects one-off stalls.
     // 5, not 3: the host's steal stalls can blow 1-2 consecutive
     // passes; a median of 5 rejects two outliers (observed: a 0.7 s
     // query reading 6.9 s for a whole 3-pass window)
@@ -87,7 +87,7 @@ object Bench {
     val maxTotal = sumValid(_.values.map(_.last))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibEnd = calibMs()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of 3 passes (-1 = query failed, excluded from totals, named in failed); host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of $passes passes (-1 = query failed, excluded from totals, named in failed); host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
     spark.stop()
   }
 }

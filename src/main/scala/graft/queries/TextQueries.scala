@@ -176,8 +176,10 @@ object TextQueries {
       FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""),
     "Exact dedup: hash-groupBy on content fingerprint")
 
-  /** N-gram Jaccard near-dedup: inverted-index candidate join on
-    * shared 3-gram shingles, then Jaccard over the shingle sets.
+  /** The near-dup pair set (doc_a < doc_b, Jaccard ≥ 2000 bp):
+    * inverted-index candidate join on shared 3-gram shingles, then
+    * Jaccard over the shingle sets. Shared by q_dedup_ngram_jaccard
+    * and the connected-components clustering built on top of it.
     * Scale: the join key is the shingle, and the index is
     * **doc-frequency capped** — shingles appearing in more than DfCap
     * documents are dropped before candidate generation. Pair volume
@@ -186,9 +188,6 @@ object TextQueries {
     * no dedup signal. Jaccard is computed over the capped sets on
     * both sides (numerator and denominator), mirrored exactly by the
     * oracle. */
-  /** The near-dup pair set (doc_a < doc_b, Jaccard ≥ 2000 bp) —
-    * shared by q_dedup_ngram_jaccard and the connected-components
-    * clustering built on top of it. */
   private[queries] def ngramJaccardPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val DfCap = 1000
@@ -768,17 +767,26 @@ object TextQueries {
           .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
         // ...then keep the smaller of own and neighborhood label; the
         // change flag rides along so ONE action per round both
-        // materializes the new labels and decides convergence
+        // materializes the new labels and decides convergence. count(),
+        // not isEmpty: isEmpty is take(1) and would stop at the first
+        // changed partition, leaving `next` only partially cached when
+        // the old labels' blocks are dropped below.
         val next = labels.join(fromNeighbors, Seq("vtx"), "left")
           .select(col("vtx"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
             (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next.filter(col("chg")).isEmpty
+        converged = next.filter(col("chg")).count() == 0L
         labels.unpersist(false)
         labels = next.select(col("vtx"), col("comp"))
         rounds += 1
       }
+      // a silent cap would ship wrong labels (one cluster, several ids)
+      // straight into a canonical-replacement join — fail loudly; a
+      // corpus with >50-diameter chains needs the large-star/small-star
+      // variant, not more rounds of this one
+      require(converged,
+        s"component propagation did not converge in $rounds rounds")
       labels.select(col("vtx").as("doc_id"), col("comp").as("component"))
     },
     Some(s"""WITH RECURSIVE $sqlJaccardPairCtes,

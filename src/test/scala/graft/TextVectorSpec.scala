@@ -231,11 +231,13 @@ class TextVectorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (amax, sumQ, clip, zero) =>
-      // amax_e6 == 0 means the 1e-30 clamp floor fired (all-zero / sub-
-      // epsilon vector): everything quantizes to 0. Otherwise the
-      // max-|x| element always quantizes to ±127.
-      if (amax > 0) assert(clip >= 1 && clip <= 64)
-      else assert(clip == 0 && zero == 64)
+      // amax_e6 > 0 ⇒ amax ≥ 0.5e-6 ≫ the 1e-30 clamp floor ⇒ scaling
+      // is genuine and the max-|x| element quantizes to ±127. The
+      // converse does NOT hold (a genuine 1e-7-scale vector also
+      // rounds amax_e6 to 0), so no assertion on the zero case beyond
+      // the universal bounds.
+      if (amax > 0) assert(clip >= 1)
+      assert(clip >= 0 && clip <= 64)
       assert(zero >= 0 && zero <= 64)
       assert(math.abs(sumQ) <= 127L * 64)
     }
