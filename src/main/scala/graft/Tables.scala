@@ -19,6 +19,7 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.VectorExpressions.register(spark)
     graft.functions.TextExpressions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -23,6 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_quantize"),
       info("graft_quantize"),
       (es: Seq[Expression]) => QuantizeStats(es.head)))
+    def binfo(name: String) =
+      new ExpressionInfo(BloomFunctions.getClass.getCanonicalName, name)
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      binfo("graft_bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      binfo("graft_bloom_contains"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
     def tinfo(name: String) =
       new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),

@@ -802,9 +802,52 @@ object TextQueries {
     SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v"""),
     "Dup-cluster assembly: connected components via min-label propagation")
 
+  /** Incremental dedup against a historical corpus via a Bloom
+    * pre-filter — the shuffle-avoidance pattern for daily batches:
+    * the history collapses to a KB-sized mergeable Bloom sketch
+    * (Spark's own runtime-filter aggregate, surfaced as
+    * graft_bloom_agg), every new doc is tested ROW-LOCALLY against the
+    * sketch, and only the survivors (true dups + bounded false
+    * positives) reach the exact verification join. Shuffle volume is
+    * survivor-sized, not batch-sized; false negatives are impossible,
+    * so the exact join makes the result bloom-independent — which is
+    * why a plain-join DuckDB oracle can verify it. The sketch literal
+    * is driver-collected, but it is sketch-sized (numBits/8 bytes)
+    * like any broadcast build — never data-sized. */
+  val qBloomPrefilter = Q(
+    "q_bloom_prefilter",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val f = d.select(col("doc_id"),
+        md5(concat_ws(" ", slice(words(col("text")), 1, 5))).as("fp"))
+      val hist = f.filter(col("doc_id") % 3 === 0)
+        .groupBy("fp").agg(min(col("doc_id")).as("canonical"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = hist
+        .agg(call_function("graft_bloom_agg",
+          xxhash64(col("fp")), lit(100000L), lit(800000L)))
+        .head.getAs[Array[Byte]](0)
+      f.filter(col("doc_id") % 3 =!= 0)
+        .filter(call_function("graft_bloom_contains",
+          lit(bloom), xxhash64(col("fp"))))
+        .join(hist, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("canonical"))
+    },
+    Some("""WITH f AS (
+      SELECT doc_id,
+        md5(array_to_string((string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:5], ' ')) AS fp
+      FROM documents),
+    hist AS (SELECT fp, min(doc_id) AS canonical FROM f
+      WHERE doc_id % 3 = 0 GROUP BY fp)
+    SELECT n.doc_id, n.fp, h.canonical
+    FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 != 0) n
+    JOIN hist h USING (fp)"""),
+    "Incremental dedup: Bloom sketch prefilter + exact verify join")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qBpePairs,
-    qDedupComponents)
+    qDedupComponents, qBloomPrefilter)
 }

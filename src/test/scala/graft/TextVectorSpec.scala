@@ -225,6 +225,22 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_prefilter result is bloom-independent (== plain join)") {
+    import graft.ops.TextOps
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+    val f = d.select($"doc_id",
+      md5(concat_ws(" ", slice(TextOps.words($"text"), 1, 5))).as("fp"))
+    val hist = f.filter($"doc_id" % 3 === 0)
+      .groupBy("fp").agg(min($"doc_id").as("canonical"))
+    val plain = f.filter($"doc_id" % 3 =!= 0).join(hist, Seq("fp"))
+      .select($"doc_id", $"fp", $"canonical")
+    val got = SparkEntry.queries("q_bloom_prefilter")(spark, Sf)
+    assert(got.count() > 0)
+    // no false negatives (bloom can only ADD candidates; the exact
+    // join removes them) — the prefiltered result equals the plain join
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
   test("q_vec_quantize: clip/zero/sum bounds per vector") {
     val rows = SparkEntry.queries("q_vec_quantize")(spark, Sf)
       .select($"amax_e6", $"sum_q", $"n_clip", $"n_zero")

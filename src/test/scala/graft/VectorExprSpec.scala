@@ -89,7 +89,8 @@ class VectorExprSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext)
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
       === Set("graft_dot", "graft_scale_div", "graft_quantize",
-        "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60"))
+        "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60",
+        "graft_bloom_agg", "graft_bloom_contains"))
   }
 
   test("SQL surface works after registration") {
