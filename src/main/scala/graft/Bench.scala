@@ -77,17 +77,30 @@ object Bench {
       }
       name -> ts.sorted
     }.toMap
-    val med = timings.map { case (k, ts) => k -> ts(passes / 2) }
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A query with ANY failed pass is reported as -1 and excluded from
+    // every total — a partially-failing query must not contribute a
+    // fastest-surviving-pass median to the sum (ts is sorted, so a
+    // failure anywhere surfaces as ts.head < 0).
+    val med = timings.map { case (k, ts) =>
+      k -> (if (ts.head < 0) -1.0 else ts(passes / 2)) }
+    val qs = med.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def sumValid(sel: Map[String, Seq[Double]] => Iterable[Double]): Double =
-      sel(timings).filter(_ >= 0).sum
-    val total = sumValid(_.values.map(_.apply(passes / 2)))
-    val minTotal = sumValid(_.values.map(_.head))
-    val maxTotal = sumValid(_.values.map(_.last))
+    def totalOf(pick: Seq[Double] => Double): Double =
+      timings.values.filter(_.head >= 0).map(pick).sum
+    val total = totalOf(_.apply(passes / 2))
+    val minTotal = totalOf(_.head)
+    val maxTotal = totalOf(_.last)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibEnd = calibMs()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of $passes passes (-1 = query failed, excluded from totals, named in failed); host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"note":"per-query median of $passes passes (-1 = any pass failed, query excluded from all totals, named in failed); host has CPU-steal stalls (min_total vs max_total shows spread; calib_ms_* time identical fixed work, ~equal on a quiet host, 10-30x apart under steal)"}"""
+    println(json)
+    // The driver captures stdout with a bounded tail, which truncated
+    // 18 of 69 per-query rows in round 2 — the full report also goes
+    // to a file so no artifact consumer depends on tail capture.
+    val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_report.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] report write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -13,37 +13,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import VectorExpressions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Same arity contract as the FunctionRegistry.regN path: a
+    // wrong-arity SQL call should fail with a clear message at analysis
+    // time, not an IndexOutOfBoundsException (and never silently drop
+    // extra arguments).
+    def arity(name: String, n: Int, es: Seq[Expression]): Seq[Expression] = {
+      require(es.length == n, s"$name takes $n argument(s), got ${es.length}")
+      es
+    }
     def info(name: String) =
       new ExpressionInfo(VectorExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
-      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => { arity("graft_dot", 2, es)
+        ArrayDotProduct(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("graft_scale_div"),
       info("graft_scale_div"),
-      (es: Seq[Expression]) => ArrayScaleDivide(es(0), es(1))))
+      (es: Seq[Expression]) => { arity("graft_scale_div", 2, es)
+        ArrayScaleDivide(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("graft_quantize"),
       info("graft_quantize"),
-      (es: Seq[Expression]) => QuantizeStats(es.head)))
+      (es: Seq[Expression]) => QuantizeStats(arity("graft_quantize", 1, es).head)))
     def binfo(name: String) =
       new ExpressionInfo(BloomFunctions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       binfo("graft_bloom_agg"),
-      (es: Seq[Expression]) =>
+      (es: Seq[Expression]) => { arity("graft_bloom_agg", 3, es)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          es(0), es(1), es(2)).toAggregateExpression()))
+          es(0), es(1), es(2)).toAggregateExpression() }))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       binfo("graft_bloom_contains"),
-      (es: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
+      (es: Seq[Expression]) => { arity("graft_bloom_contains", 2, es)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)) }))
     def tinfo(name: String) =
       new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       tinfo("graft_minhash"),
-      (es: Seq[Expression]) => TextExpressions.MinHashSignature(es.head)))
+      (es: Seq[Expression]) =>
+        TextExpressions.MinHashSignature(arity("graft_minhash", 1, es).head)))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       tinfo("graft_shingle_hashes"),
-      (es: Seq[Expression]) => TextExpressions.ShingleHashes(es.head)))
+      (es: Seq[Expression]) =>
+        TextExpressions.ShingleHashes(arity("graft_shingle_hashes", 1, es).head)))
     ext.injectFunction((FunctionIdentifier("graft_word_hashes60"),
       tinfo("graft_word_hashes60"),
-      (es: Seq[Expression]) => TextExpressions.WordHashes60(es.head)))
+      (es: Seq[Expression]) =>
+        TextExpressions.WordHashes60(arity("graft_word_hashes60", 1, es).head)))
   }
 }

@@ -149,7 +149,14 @@ object VectorExpressions {
     * limit and runs in the bytecode interpreter (~120 µs/row measured
     * at sf0.1); the loop form is a normal hot method. Arithmetic is
     * bit-identical to the unrolled form (PropertySpec pins it):
-    * amax = max(|x_i|, 1e-30), q_i = round_half_up(x_i·127/amax). */
+    * amax = max(|x_i|, 1e-30), q_i = round_half_up(x_i·127/amax).
+    *
+    * Precondition (same convention as ArrayDotProduct): array elements
+    * must be non-null. Slots are read raw (getFloat/getDouble), so a
+    * null element contributes 0 rather than null-propagating the way
+    * the unrolled element_at form would. The embedding pipeline never
+    * produces null elements; callers with containsNull input must
+    * filter first. */
   case class QuantizeStats(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess

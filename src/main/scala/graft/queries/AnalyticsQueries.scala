@@ -203,23 +203,49 @@ object AnalyticsQueries {
     "Exact median via window ranks, integer-only output")
 
   /** Approximate sketches: HyperLogLog distinct counts and
-    * approx-percentile per priority. Estimates are engine-specific, so
-    * no cross-engine oracle — the driver records the rows-only check.
-    * This is the 100 TB path for distinct/quantile: mergeable sketch
-    * state, no exact distinct shuffle. */
+    * approx-percentile per priority — the 100 TB path for
+    * distinct/quantile (mergeable sketch state, no exact distinct
+    * shuffle). The estimates themselves are engine-specific, so the
+    * query emits the EXACT values plus integer within-tolerance flags:
+    * the oracle recomputes the exact columns and pins the flags to 1,
+    * so a sketch drifting outside its error bound hash-fails. The
+    * exact side here is the verification harness; at production scale
+    * only the sketch aggregates would run. HLL rsd = 0.02 with a 5%
+    * (500 bp) gate; percentile accuracy 1e4 with a 2% (200 bp) gate —
+    * both deterministic (HLL register-max and QuantileSummaries merges
+    * are order-independent). */
   val qApproxSketches = Q(
     "q_approx_sketches",
     (spark, dir) => {
       Tables.ensureConf(spark)
       load(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"),
+          cents("o_totalprice").as("c"))
         .groupBy("o_orderpriority")
         .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_customers"),
-          percentile_approx(cents("o_totalprice"), lit(0.5), lit(1000))
-            .as("approx_median_cents"))
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          // ×2 keeps the even-count interpolated midpoint integral
+          // (same convention as q_median_window).
+          (expr("percentile(c, 0.5)") * 2).cast("long")
+            .as("exact_median_cents_x2"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("hll"),
+          percentile_approx(col("c"), lit(0.5), lit(10000)).as("amed"))
+        .select(
+          col("o_orderpriority"), col("exact_customers"),
+          col("exact_median_cents_x2"),
+          (abs(col("hll") - col("exact_customers")) * 10000 <=
+            col("exact_customers") * 500).cast("int").as("hll_within_5pct"),
+          (abs(col("amed") * 2 - col("exact_median_cents_x2")) * 10000 <=
+            col("exact_median_cents_x2") * 200).cast("int")
+            .as("pctl_within_2pct"))
     },
-    None,
-    "Approximate aggregates: HLL distinct + approx percentile (sketch path)")
+    Some("""SELECT o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS exact_customers,
+      CAST(median(CAST(round(o_totalprice*100) AS BIGINT)) * 2 AS BIGINT)
+        AS exact_median_cents_x2,
+      1 AS hll_within_5pct, 1 AS pctl_within_2pct
+      FROM orders GROUP BY o_orderpriority"""),
+    "Approximate aggregates: HLL + approx percentile, bounded-error verified")
 
   /** Semi-structured JSON: typed `from_json` on the events `props`
     * column, then grouped aggregates over the extracted field. The

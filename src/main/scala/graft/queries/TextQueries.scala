@@ -813,7 +813,17 @@ object TextQueries {
     * so the exact join makes the result bloom-independent — which is
     * why a plain-join DuckDB oracle can verify it. The sketch literal
     * is driver-collected, but it is sketch-sized (numBits/8 bytes)
-    * like any broadcast build — never data-sized. */
+    * like any broadcast build — never data-sized.
+    *
+    * Sizing is DERIVED from the history cardinality (numBits for a 1%
+    * FPP at the observed count — `BloomOps.sizedBits`), not hardcoded:
+    * a fixed numBits degrades toward FPP≈1 at 100× history and the
+    * prefilter silently stops paying. The count() that feeds the
+    * formula materializes the persisted history the sketch aggregate
+    * and the verify join both reuse, so it costs no extra scan. An
+    * empty history short-circuits past the sketch (BloomFilterAggregate
+    * yields a null sketch on zero rows, which would fail
+    * BloomFilterMightContain's type check at analysis time). */
   val qBloomPrefilter = Q(
     "q_bloom_prefilter",
     (spark, dir) => {
@@ -824,14 +834,8 @@ object TextQueries {
       val hist = f.filter(col("doc_id") % 3 === 0)
         .groupBy("fp").agg(min(col("doc_id")).as("canonical"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bloom = hist
-        .agg(call_function("graft_bloom_agg",
-          xxhash64(col("fp")), lit(100000L), lit(800000L)))
-        .head.getAs[Array[Byte]](0)
-      f.filter(col("doc_id") % 3 =!= 0)
-        .filter(call_function("graft_bloom_contains",
-          lit(bloom), xxhash64(col("fp"))))
-        .join(hist, Seq("fp"))
+      val newDocs = f.filter(col("doc_id") % 3 =!= 0)
+      graft.ops.BloomOps.prefilteredJoin(hist, newDocs, "fp")
         .select(col("doc_id"), col("fp"), col("canonical"))
     },
     Some("""WITH f AS (

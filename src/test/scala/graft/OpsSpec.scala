@@ -117,9 +117,36 @@ class OpsSpec extends SparkSpec {
     assert(back.count() == 1000)
   }
 
+  test("BloomOps.sizedBits follows the optimal-bits formula and clamps") {
+    // m = ceil(-n ln p / ln(2)^2), byte-aligned up: 1000 items @ 1% →
+    // 9586 bits raw → 9592 aligned
+    assert(BloomOps.sizedBits(1000L, 0.01) == 9592L)
+    // scales linearly with history (the round-2 hardcode did not)
+    assert(BloomOps.sizedBits(100000L, 0.01) == 958512L)
+    // floor: tiny/zero histories still get a minimal aligned filter
+    assert(BloomOps.sizedBits(0L) == 64L && BloomOps.sizedBits(1L) == 64L)
+    // ceiling: Spark's BloomFilterAggregate maxNumBits
+    assert(BloomOps.sizedBits(100000000L, 0.01) == BloomOps.MaxNumBits)
+    intercept[IllegalArgumentException](BloomOps.sizedBits(-1L))
+    intercept[IllegalArgumentException](BloomOps.sizedBits(10L, 0.0))
+  }
+
+  test("BloomOps.prefilteredJoin short-circuits an empty history") {
+    val hist = Seq.empty[(String, Long)].toDF("fp", "canonical")
+    val novel = Seq(("a", 1L), ("b", 2L)).toDF("fp", "doc_id")
+    // zero-row history: BloomFilterAggregate would return a null
+    // sketch (analysis-time failure in the probe); the short-circuit
+    // must instead yield the plain-join result — empty
+    assert(BloomOps.prefilteredJoin(hist, novel, "fp").isEmpty)
+    val hist2 = Seq(("a", 0L)).toDF("fp", "canonical")
+    val got = BloomOps.prefilteredJoin(hist2, novel, "fp")
+      .select("doc_id", "canonical").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 0L)))
+  }
+
   test("approx sketches track exact aggregates within their error bounds") {
-    // q_approx_sketches is rows-only at the oracle (engine-specific
-    // estimates); this pins the estimates to the exact values locally
+    // q_approx_sketches hash-verifies exact values + bounded-error
+    // flags at the oracle; this pins the raw estimates locally too
     val df = spark.range(10000).select(
       (col("id") % 1000).as("k"), col("id").cast("double").as("v"))
       .repartition(4) // force partial-agg sketch merges across partitions

@@ -25,6 +25,7 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorExpressions.register(s)
     graft.functions.TextExpressions.register(s)
+    graft.functions.BloomFunctions.register(s)
     s
   }
 }
