@@ -17,11 +17,18 @@ import org.apache.spark.sql.functions._
   * The piecewise operator queries (q_dim_build, q_resolution_fuzzy,
   * q_fact_assembly, ...) verify each stage in isolation; these two
   * verify the COMPOSED pipeline — the round-1 verdict's "gold outputs
-  * are never DuckDB-compared" gap. Note on resolution: dims are built
-  * from the same stage the fact resolves against, so every row
-  * resolves exactly (IS_FUZZY_MATCH = false) — the fuzzy branch is
-  * exercised separately by q_resolution_fuzzy, where the observation
-  * side is corrupted.
+  * are never DuckDB-compared" gap. Resolution takes BOTH branches
+  * end-to-end: after the dims are built, a deterministic slice of the
+  * observations (slno % 13 = 1) gets a one-character modelName typo —
+  * the curated-dims-vs-noisy-batch shape the reference's cascade
+  * exists for (etl2:220-244). Those rows miss the exact 3-key join,
+  * enter the blocked fuzzy join (block key = first-2 chars, preserved
+  * by the suffix typo; every synthesized model has a distinct 2-char
+  * prefix, so the only in-block candidate at the same make-year is the
+  * row's own original), resolve at levenshtein = 1, and flow into the
+  * fact with IS_FUZZY_MATCH = true and the ORIGINAL vehicle id — which
+  * is what lets the oracle mirror the outcome declaratively: perturbed
+  * MODEL_NAME, original VEHICLE_ID, fuzzy flag on exactly that slice.
   *
   * The synthesized raw rows exercise every repair branch: office
   * strings misaligned into fromdate (row dropped after repair — no
@@ -106,8 +113,18 @@ object StarQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dv, dm, dr) = Etl2.dimensions(df)
     val dvC = dv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val res = Etl2.resolveVehicles(df, dvC)
-    Etl2.Gold(dvC, dm, dr, Etl2.fact(df, res))
+    // Observation corruption AFTER the dim build (dims stay clean):
+    // a suffix typo keeps the 2-char block key and stays at
+    // levenshtein 1 from the row's own dim entry, so the fuzzy branch
+    // must recover the original VEHICLE_ID. The surrogate keys were
+    // computed by keyed() before the typo, so the fact's fallback
+    // coalesce also carries the original id — resolution correctness,
+    // not the coalesce, is what the fuzzy flag witnesses.
+    val dfObs = df.withColumn("modelName",
+      when(col("slno") % 13 === 1, concat(col("modelName"), lit("Q")))
+        .otherwise(col("modelName")))
+    val res = Etl2.resolveVehicles(dfObs, dvC)
+    Etl2.Gold(dvC, dm, dr, Etl2.fact(dfObs, res))
   }
 
   /** The raw→stage→keyed mirror as DuckDB CTEs (shared by both
@@ -257,10 +274,10 @@ object StarQueries {
       vehicleClass AS TRANSPORT_TYPE,
       reg AS TEMP_REGISTRATION_NUMBER,
       slno AS SLNO,
-      FALSE AS IS_FUZZY_MATCH,
+      slno % 13 = 1 AS IS_FUZZY_MATCH,
       colour AS COLOUR,
       fuel_clean AS FUEL_TYPE,
-      modelName AS MODEL_NAME
+      CASE WHEN slno % 13 = 1 THEN modelName || 'Q' ELSE modelName END AS MODEL_NAME
     FROM fin"""),
     "End-to-end Etl1→Etl2 fact parity (etl1:56-148 + etl2:100-331)")
 

@@ -110,6 +110,23 @@ class RtaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_star_fact: fuzzy-resolved rows flow through the composed pipeline") {
+    val f = SparkEntry.queries("q_star_fact")(spark, "/root/testdata/sf0.001")
+      .persist()
+    try {
+      val fuzzy = f.filter($"IS_FUZZY_MATCH" === true)
+      assert(fuzzy.count() >= 1, "the slno%13 typo slice produced no fuzzy rows")
+      // the fuzzy flag tracks exactly the corrupted observation slice
+      assert(f.filter($"IS_FUZZY_MATCH" === ($"SLNO" % 13 =!= 1)).count() == 0)
+      // the cascade recovered the ORIGINAL vehicle: every fuzzy row's
+      // id is a real dim key, and its MODEL_NAME carries the typo
+      val dv = SparkEntry.queries("q_star_dim_vehicle")(spark, "/root/testdata/sf0.001")
+      assert(fuzzy.join(dv.select("VEHICLE_ID"), Seq("VEHICLE_ID"), "left_anti")
+        .count() == 0)
+      assert(fuzzy.filter(!$"MODEL_NAME".endsWith("Q")).count() == 0)
+    } finally { f.unpersist() }
+  }
+
   test("fuzzy resolution engages when the dim lacks the exact key") {
     val stageDf = Etl2.keyed(stage)
     // dim with the model one edit away ("SWIFT VDJ" vs "SWIFT VDI"),
