@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list —
+  * the dup-cluster assembly kernel behind `q_dedup_components`.
+  *
+  * Two phases, both driver-iterated with the data distributed:
+  *
+  *  1. Min-label propagation: each round one join + one aggregate;
+  *     rounds needed = graph diameter. Near-dup graphs have tiny
+  *     diameters (a cluster is "everything similar to one document"),
+  *     so this is the cheap common path.
+  *  2. Large-star/small-star (Kiveris et al., "Connected Components in
+  *     MapReduce and Beyond", SoCC'14 — public algorithm): alternating
+  *     star operations that converge in O(log n) rounds regardless of
+  *     diameter. Heavier per round (two grouped joins + dedup), so it
+  *     only runs when phase 1 hasn't converged within its budget —
+  *     the pathological-chain escape hatch that lets a corpus with an
+  *     adversarial link structure complete instead of hard-failing.
+  *
+  * Both phases label every clustered vertex with the component MINIMUM
+  * (large-star/small-star provably converges to min-rooted stars), so
+  * escalation never changes the answer, only the round complexity.
+  *
+  * Every round ends in localCheckpoint(), not persist(): caching keeps
+  * the DATA hot but leaves the logical plan growing — round N's plan
+  * embeds two copies of round N-1's (join + self-union), so by ~10
+  * rounds analysis alone is exponential and OOMs the driver (measured:
+  * a 200-edge chain killed the JVM on plan strings). Checkpointing
+  * truncates lineage to the materialized RDD each round, keeping plan
+  * size constant. On a multi-executor cluster, flip to reliable
+  * checkpoint(dir) if executor loss during a long run matters. */
+object Components {
+  /** Phase-1 budget: covers every realistic near-dup diameter; beyond
+    * it the chain-shaped escalation path is cheaper than more
+    * propagation rounds. */
+  val EscalateAfterRounds = 10
+
+  /** Phase-2 backstop: star rounds are O(log n), so 40 covers any
+    * graph with < 2^40 vertices; hitting it means a bug, not a big
+    * input — fail loudly rather than ship wrong labels. */
+  val MaxStarRounds = 40
+
+  /** Components of the undirected graph `edges` ("u","v" long columns,
+    * self-loop-free). Returns one row per vertex that appears in any
+    * edge: (vtx, comp) with comp = min vertex id of the component. */
+  def connectedComponents(
+      edges: DataFrame,
+      escalateAfter: Int = EscalateAfterRounds,
+      maxStarRounds: Int = MaxStarRounds): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- phase 1: min-label propagation, bounded rounds ----
+    var labels = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      .select(col("u").as("vtx"), least(col("u"), col("nmin")).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < escalateAfter) {
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
+        .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
+      // eager checkpoint materializes the round; the convergence count
+      // then reads the checkpointed blocks (no recompute)
+      val next = labels.join(fromNeighbors, Seq("vtx"), "left")
+        .select(col("vtx"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+        .localCheckpoint()
+      converged = next.filter(col("chg")).count() == 0L
+      labels = next.select(col("vtx"), col("comp"))
+      rounds += 1
+    }
+    if (converged) {
+      sym.unpersist(false)
+      return labels.select(col("vtx"), col("comp"))
+    }
+
+    // ---- phase 2: large-star / small-star from the original edges ----
+    // orientation invariant for both operations' outputs: (u, v) with
+    // u > v. Establish it on the input first.
+    var cur = sym.filter(col("u") > col("v")).distinct().localCheckpoint()
+    sym.unpersist(false)
+    // consecutive-round fixpoint test: the operations are deterministic
+    // functions of the edge multiset, so an identical (count, hash-sum)
+    // signature means every future round is identical too. A signature
+    // collision between DIFFERENT consecutive states is ~2^-64 and the
+    // failure mode is extra rounds into the loud backstop — never a
+    // silently wrong answer.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = signature(cur)
+    converged = false
+    rounds = 0
+    while (!converged && rounds < maxStarRounds) {
+      // large-star: for every node, attach its strictly-LARGER
+      // neighbors to the smallest node it can see (min of closed
+      // neighborhood). Halves the distance of far nodes to the root.
+      val lsNbrs = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = lsNbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = lsNbrs.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: for every node, re-attach its smaller neighbors
+      // (and itself) to the smallest of them. Flattens local trees
+      // into stars.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val sig = signature(ss)
+      converged = sig == prevSig
+      prevSig = sig
+      cur = ss
+      rounds += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $rounds rounds")
+    // converged state = disjoint min-rooted stars oriented (leaf, root):
+    // leaves label from their root edge, roots label themselves.
+    cur.select(col("u").as("vtx"), col("v").as("comp"))
+      .union(cur.select(col("v").as("vtx"), col("v").as("comp")).distinct())
+  }
+}

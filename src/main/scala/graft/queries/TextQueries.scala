@@ -731,63 +731,25 @@ object TextQueries {
   /** Duplicate-cluster assembly: connected components over the
     * near-dup pair graph (pairwise detection alone can't answer "which
     * canonical doc replaces this one" — A~B and B~C must collapse to
-    * one cluster even when A~C was never scored). Distributed min-label
-    * propagation: each round is one aggregate + one join, labels only
-    * decrease, and the driver loops until a round changes nothing —
-    * the same driver-iterates / data-stays-distributed shape as
-    * ops.KMeans. Rounds needed = cluster diameter (tiny for dedup
-    * clusters; the label-doubling star variants cut it to O(log n) if
-    * a corpus ever produces long chains). Output: every clustered doc
-    * with its component id (= min doc id in the component), exactly
-    * what a canonical-replacement join consumes. The oracle computes
-    * the same components with a recursive transitive-closure CTE. */
+    * one cluster even when A~C was never scored). The kernel
+    * (ops.Components) runs bounded min-label propagation — one join +
+    * one aggregate per round, rounds = diameter, the cheap path for
+    * near-dup graphs — and escalates to large-star/small-star
+    * (O(log n) rounds) if the diameter budget runs out, so a
+    * pathological chain corpus completes instead of hard-failing.
+    * Output: every clustered doc with its component id (= min doc id
+    * in the component), exactly what a canonical-replacement join
+    * consumes. The oracle computes the same components with a
+    * recursive transitive-closure CTE. */
   val qDedupComponents = Q(
     "q_dedup_components",
     (spark, dir) => {
       Tables.ensureConf(spark)
       val pairs = ngramJaccardPairs(spark, dir)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // symmetric edge list: propagation must flow both directions
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // seed labels with min(self, direct neighbors) — the first
-      // propagation round folded into initialization
-      var labels = edges.groupBy(col("u")).agg(min(col("v")).as("nmin"))
-        .select(col("u").as("vtx"), least(col("u"), col("nmin")).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        // min label among each vertex's neighbors (one shuffle)...
-        val fromNeighbors = edges
-          .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
-          .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
-        // ...then keep the smaller of own and neighborhood label; the
-        // change flag rides along so ONE action per round both
-        // materializes the new labels and decides convergence. count(),
-        // not isEmpty: isEmpty is take(1) and would stop at the first
-        // changed partition, leaving `next` only partially cached when
-        // the old labels' blocks are dropped below.
-        val next = labels.join(fromNeighbors, Seq("vtx"), "left")
-          .select(col("vtx"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-            (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next.filter(col("chg")).count() == 0L
-        labels.unpersist(false)
-        labels = next.select(col("vtx"), col("comp"))
-        rounds += 1
-      }
-      // a silent cap would ship wrong labels (one cluster, several ids)
-      // straight into a canonical-replacement join — fail loudly; a
-      // corpus with >50-diameter chains needs the large-star/small-star
-      // variant, not more rounds of this one
-      require(converged,
-        s"component propagation did not converge in $rounds rounds")
-      labels.select(col("vtx").as("doc_id"), col("comp").as("component"))
+      graft.ops.Components.connectedComponents(pairs)
+        .select(col("vtx").as("doc_id"), col("comp").as("component"))
     },
     Some(s"""WITH RECURSIVE $sqlJaccardPairCtes,
     edges AS (
