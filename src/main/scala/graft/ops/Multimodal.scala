@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media carried as opaque `binary` payloads with
   * typed metadata, decoded in batched per-partition passes.
   *
-  * In a production pipeline the decode stage is vectorized Python
-  * (`mapInPandas` + Pillow/ffmpeg) or a JNI codec; this environment
-  * ships no codecs, so [[decodeFeatures]] is a clearly-marked
-  * deterministic STUB — but the Spark-side plumbing is the real
-  * pattern: a typed Dataset boundary, `mapPartitions` batching (the
-  * JVM twin of mapInPandas' batch iterator), row-local compute, no
-  * shuffle, schema declared up front.
+  * The decode boundary is REAL: payloads are multi-frame binary PPM
+  * (P6) streams and [[decodeFeatures]] parses the actual bytes —
+  * header grammar, dimensions, and a full pixel scan — with no
+  * external codec dependency (PPM is the trivial open format that
+  * needs none). A production pipeline swaps the parser body for
+  * Pillow/ffmpeg behind the same typed Dataset boundary; everything
+  * around it — `mapPartitions` batching (the JVM twin of mapInPandas'
+  * batch iterator), row-local compute, no shuffle, schema declared up
+  * front — is unchanged by that swap.
   *
   * Scale: decode is embarrassingly parallel; partition count (not row
   * count) bounds codec parallelism. Payload bytes never shuffle — the
@@ -22,47 +24,108 @@ object Multimodal {
   /** A media row: id + opaque payload + declared mime. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
 
-  /** Typed decode output; real decoders would fill genuine
-    * width/height/frames. */
+  /** Typed decode output. `pixel_sum` is the sum of every pixel byte
+    * across all frames — content evidence that the decoder actually
+    * read the raster, not just the header. */
   final case class MediaFeatures(
-      doc_id: Long, mime: String, n_bytes: Long, content_md5: String,
-      width: Int, height: Int, channels: Int, n_frames: Int)
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, n_frames: Int,
+      pixel_sum: Long)
 
-  /** Columnar pack: text documents → utf-8 binary payloads (stands in
-    * for image/audio bytes; the engine treats payloads as opaque). */
-  def packText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      lit("text/plain").as("mime"))
+  val PpmMime = "image/x-portable-pixmap"
 
-  /** Batched decode boundary. STUB: features are a deterministic
-    * function of the payload bytes (size-derived dims + md5) so tests
-    * and the DuckDB oracle can verify the plumbing end-to-end; a real
-    * deployment replaces only the body of `fakeDecode`. */
-  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions { batch =>
-      // per-partition setup (a real decoder opens codecs once here)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      batch.map { r => fakeDecode(md, r) }
-    }
+  /** Deterministic media fixture: each document becomes a multi-frame
+    * P6 stream whose dimensions derive from the utf-8 text length n
+    * (w = 1 + n % 64, h = 1 + n % 48, frames = 1 + n % 7) and whose
+    * frame f is filled with the constant byte (doc_id + f) % 256 —
+    * closed forms a SQL oracle can recompute without touching bytes.
+    * Dimension caps keep the largest payload ~64 KB so the fixture
+    * scales linearly with document count. */
+  def packPpm(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        val w = 1 + n % 64
+        val h = 1 + n % 48
+        val frames = 1 + n % 7
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          out.write(s"P6\n$w $h\n255\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val px = ((id + f) % 256).toInt
+          val raster = new Array[Byte](w * h * 3)
+          java.util.Arrays.fill(raster, px.toByte)
+          out.write(raster)
+          f += 1
+        }
+        MediaRow(id, out.toByteArray, PpmMime)
+      }
   }
 
-  /** STUB decode — deterministic fake in place of a codec call. */
-  private def fakeDecode(md: java.security.MessageDigest, r: MediaRow): MediaFeatures = {
-    val n = r.payload.length
-    md.reset()
-    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-    MediaFeatures(r.doc_id, r.mime, n.toLong, hex,
-      width = 1 + n % 509, height = 1 + n % 251,
-      channels = 3, n_frames = 1 + n % 7)
+  /** Batched decode boundary: parses every payload as a concatenated
+    * P6 stream. Malformed bytes fail loudly (a real pipeline would
+    * route them to a quarantine sink instead of guessing). */
+  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    // per-partition batch iterator: a real codec swap would open its
+    // native context once here, before the map
+    ds.mapPartitions(_.map(decodePpm))
+  }
+
+  /** P6 parser: magic, ASCII dims, maxval 255, then a full raster
+    * scan per frame. Frames must agree on dimensions (the fixture
+    * guarantees it; a mixed-dims stream is malformed here). */
+  private def decodePpm(r: MediaRow): MediaFeatures = {
+    val b = r.payload
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg")
+    var off = 0
+    var frames = 0
+    var w = -1
+    var h = -1
+    var pixelSum = 0L
+    while (off < b.length) {
+      if (off + 3 > b.length || b(off) != 'P' || b(off + 1) != '6' || b(off + 2) != '\n')
+        fail(s"bad PPM magic at offset $off")
+      off += 3
+      def readInt(term: Char): Int = {
+        var v = 0
+        var digits = 0
+        while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+          v = v * 10 + (b(off) - '0'); digits += 1; off += 1
+        }
+        if (digits == 0 || off >= b.length || b(off) != term)
+          fail(s"bad PPM header near offset $off")
+        off += 1
+        v
+      }
+      val fw = readInt(' ')
+      val fh = readInt('\n')
+      val maxval = readInt('\n')
+      if (maxval != 255) fail(s"unsupported maxval $maxval")
+      if (frames > 0 && (fw != w || fh != h))
+        fail(s"frame $frames dims ${fw}x$fh != ${w}x$h")
+      w = fw; h = fh
+      val npix = fw * fh * 3
+      if (off + npix > b.length) fail(s"truncated raster at offset $off")
+      var i = 0
+      while (i < npix) { pixelSum += b(off + i) & 0xff; i += 1 }
+      off += npix
+      frames += 1
+    }
+    if (frames == 0) fail("empty payload")
+    MediaFeatures(r.doc_id, r.mime, b.length.toLong, w, h, 3, frames, pixelSum)
   }
 
   /** Aspect-preserving fit of (widthCol, heightCol) into a square
-    * target box — the standard pre-processing resize. REAL logic (not
-    * stub): pure integer letterbox arithmetic, row-local and
-    * codegen'd; a real pipeline feeds these dims to the codec's
-    * resampler. out_dim = max(1, dim * target div max(w, h)). */
+    * target box — the standard pre-processing resize. Pure integer
+    * letterbox arithmetic, row-local and codegen'd; a real pipeline
+    * feeds these dims to the codec's resampler.
+    * out_dim = max(1, dim * target div max(w, h)). */
   def fitSquare(df: DataFrame, target: Int): DataFrame =
     df.withColumn("__m", greatest(col("width"), col("height")))
       .withColumn("out_w",
@@ -73,13 +136,12 @@ object Multimodal {
 
   /** Uniform frame sampling: up to k frames at indices
     * i*(n_frames-1) div (k-1) (all frames when n_frames ≤ k; frame 0
-    * when k = 1). REAL logic: the stride arithmetic is what a video
-    * pipeline hands the demuxer; indices are strictly increasing, so
-    * no dedup needed. Rows with n_frames ≤ 0 (a corrupt/empty asset
-    * from a real decoder) produce no frames — the `when` guard matters
-    * because `sequence(0, -1)` would otherwise count DOWNWARD and emit
-    * two garbage indices. Row-local explode — frames multiply rows,
-    * payloads stay behind. */
+    * when k = 1). The stride arithmetic is what a video pipeline hands
+    * the demuxer; indices are strictly increasing, so no dedup needed.
+    * Rows with n_frames ≤ 0 (a corrupt/empty asset) produce no frames
+    * — the `when` guard matters because `sequence(0, -1)` would
+    * otherwise count DOWNWARD and emit two garbage indices. Row-local
+    * explode — frames multiply rows, payloads stay behind. */
   def sampleFrames(df: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"sampleFrames needs k >= 1, got $k")
     val stride = math.max(k - 1, 1) // k=1: i is only ever 0 → frame 0

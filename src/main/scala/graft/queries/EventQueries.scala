@@ -51,49 +51,57 @@ object EventQueries {
     FROM s GROUP BY user_id, session_seq"""),
     "Sessionization by inactivity gap (batch twin of stateful streaming)")
 
-  /** Multimodal decode boundary: opaque binary payloads + typed
-    * metadata through the batched mapPartitions stub decoder
-    * (Multimodal.decodeFeatures). The oracle reproduces the
-    * deterministic stub from byte length + md5. */
+  /** Multimodal decode boundary: deterministic multi-frame PPM
+    * payloads through the batched mapPartitions parser
+    * (Multimodal.decodeFeatures — a REAL byte-level decode, including
+    * a full raster scan). The oracle recomputes every feature from the
+    * fixture's closed forms: dims/frames from the text length, n_bytes
+    * from the header+raster layout, pixel_sum from the constant-fill
+    * frames — so a decoder that skipped or misread bytes hash-fails. */
   val qMultimodalDecode = Q(
     "q_multimodal_decode",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      import spark.implicits._
-      val packed = Multimodal.packText(load(spark, dir, "documents"), "doc_id", "text")
-      Multimodal.decodeFeatures(packed.as[Multimodal.MediaRow]).toDF()
+      val packed = Multimodal.packPpm(load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(packed).toDF()
     },
-    Some("""SELECT doc_id, 'text/plain' AS mime,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      md5(text) AS content_md5,
-      CAST(1 + octet_length(encode(text)) % 509 AS INTEGER) AS width,
-      CAST(1 + octet_length(encode(text)) % 251 AS INTEGER) AS height,
-      3 AS channels,
-      CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
-      FROM documents"""),
-    "Multimodal: binary payload + typed metadata via batched stub decode")
+    Some("""WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+        CAST(1 + n % 64 AS INTEGER) AS width,
+        CAST(1 + n % 48 AS INTEGER) AS height,
+        CAST(1 + n % 7 AS INTEGER) AS n_frames
+      FROM d)
+    SELECT doc_id, 'image/x-portable-pixmap' AS mime,
+      CAST(n_frames * (9 + length(CAST(width AS VARCHAR))
+        + length(CAST(height AS VARCHAR)) + width*height*3) AS BIGINT) AS n_bytes,
+      width, height, 3 AS channels, n_frames,
+      CAST(list_sum([((doc_id + f) % 256) * width * height * 3
+        FOR f IN range(n_frames)]) AS BIGINT) AS pixel_sum
+    FROM dims"""),
+    "Multimodal: real PPM byte-level decode via batched mapPartitions")
 
   /** Multimodal pre-processing chain: decode → aspect-preserving
     * resize to a 224-box → uniform frame sampling (≤ 4 frames).
-    * Resize/stride arithmetic is real (integer letterbox + strictly
-    * increasing sample indices); only the decode behind it is the
-    * documented stub. Frames multiply rows AFTER payload bytes are
-    * dropped — media bytes never explode or shuffle. */
+    * The decode is the real PPM parser; resize/stride arithmetic is
+    * integer letterbox + strictly increasing sample indices. Frames
+    * multiply rows AFTER payload bytes are dropped — media bytes never
+    * explode or shuffle. */
   val qMultimodalFrames = Q(
     "q_multimodal_frames",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      import spark.implicits._
-      val packed = Multimodal.packText(load(spark, dir, "documents"), "doc_id", "text")
-      val feats = Multimodal.decodeFeatures(packed.as[Multimodal.MediaRow]).toDF()
+      val packed = Multimodal.packPpm(load(spark, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(packed).toDF()
       Multimodal.sampleFrames(Multimodal.fitSquare(feats, 224), 4)
         .select(col("doc_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("n_frames"), col("frame_idx"))
     },
     Some("""WITH d AS (
       SELECT doc_id,
-        CAST(1 + octet_length(encode(text)) % 509 AS INTEGER) AS width,
-        CAST(1 + octet_length(encode(text)) % 251 AS INTEGER) AS height,
+        CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
         CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
       FROM documents),
     r AS (

@@ -160,6 +160,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(ap - ep) <= 100.0, s"approx median $ap vs exact $ep")
   }
 
+  test("Multimodal decode parses a hand-built two-frame P6 stream bit-exactly") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // 2x1: frame 0 has explicit distinct pixel bytes, frame 1 constant 7
+    val bytes = "P6\n2 1\n255\n".getBytes(ascii) ++
+      Array[Byte](1, 2, 3, 4, 5, 6) ++
+      "P6\n2 1\n255\n".getBytes(ascii) ++ Array.fill[Byte](6)(7)
+    val got = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(42L, bytes, Multimodal.PpmMime)).toDS()).head()
+    assert(got == Multimodal.MediaFeatures(42L, Multimodal.PpmMime,
+      bytes.length.toLong, 2, 1, 3, 2, (1 + 2 + 3 + 4 + 5 + 6) + 6 * 7))
+    // malformed input fails loudly, never guesses: truncated raster
+    val bad = "P6\n2 1\n255\n".getBytes(ascii) ++ Array[Byte](1, 2, 3)
+    intercept[Exception] {
+      Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRow(7L, bad, Multimodal.PpmMime)).toDS()).head()
+    }
+  }
+
+  test("Multimodal packPpm → decode round-trips the fixture's closed forms") {
+    val df = Seq((3L, "hello world"), (260L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.decodeFeatures(Multimodal.packPpm(df, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    val h = got(3L) // n = 11: w 12, h 12, frames 5, fill bytes 3..7
+    assert((h.width, h.height, h.n_frames) == ((12, 12, 5)))
+    assert(h.pixel_sum == (3 + 4 + 5 + 6 + 7).toLong * 12 * 12 * 3)
+    val x = got(260L) // n = 1: 2x2, 2 frames; fill wraps mod 256 → 4, 5
+    assert((x.width, x.height, x.n_frames) == ((2, 2, 2)))
+    assert(x.pixel_sum == (4 + 5).toLong * 2 * 2 * 3)
+  }
+
   test("Multimodal.fitSquare letterboxes exactly; sampleFrames strides strictly") {
     val d = Seq((1L, 509, 251, 7), (2L, 100, 200, 3), (3L, 1, 1, 1),
       (4L, 224, 224, 5)).toDF("doc_id", "width", "height", "n_frames")
