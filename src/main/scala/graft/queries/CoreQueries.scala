@@ -267,7 +267,60 @@ object CoreQueries {
       UNION ALL SELECT 'part', COUNT(*) FROM part"""),
     "S10 row-count action (etl1:60,139; etl2:95)")
 
+  /** S2: header + schema-inference CSV scan (reference etl1:30-38
+    * reads the raw registrations CSV exactly this way), previously
+    * verified only by scalatest. The fixture is a deterministic messy
+    * CSV — quoted commas, escaped quotes, empty→null cells in both a
+    * string and an integer column, negative and large numerics, ISO
+    * dates — written fresh to /tmp on every build so the DuckDB oracle
+    * can read_csv the same bytes. Projections CAST every column on
+    * both sides: the query verifies the scan/parse, not each engine's
+    * inference taste. */
+  val csvFixturePath = "/tmp/graft_csv_scan/data.csv"
+  private val csvFixture =
+    """id,amount,label,d,qty
+      |1,10.5,plain,2020-01-15,3
+      |2,-2.25,"comma, inside",2020-02-29,0
+      |3,0.0,"quote ""q"" inside",2019-12-31,
+      |4,12345.67,unicode æøå,2021-06-01,42
+      |5,0.125,,2022-03-10,7
+      |6,999999.99,big numbers,2018-07-04,1000000
+      |7,-0.01,negative amount,2015-11-20,-5
+      |8,3.5,last row,2023-01-01,2
+      |""".stripMargin
+
+  val qCsvScan = Q(
+    "q_csv_scan",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val p = java.nio.file.Paths.get(csvFixturePath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        csvFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        // RFC4180 doubled-quote escaping ("" inside a quoted field);
+        // Spark's default escape is backslash, which would pass the
+        // raw quotes through
+        .option("escape", "\"")
+        .csv(csvFixturePath)
+        .select(
+          col("id").cast("long").as("id"),
+          round(col("amount") * 100).cast("long").as("amount_cents"),
+          col("label").cast("string").as("label"),
+          col("d").cast("date").as("d"),
+          col("qty").cast("long").as("qty"))
+    },
+    Some(s"""SELECT CAST(id AS BIGINT) AS id,
+      CAST(round(amount*100) AS BIGINT) AS amount_cents,
+      CAST(label AS VARCHAR) AS label,
+      CAST(d AS DATE) AS d,
+      CAST(qty AS BIGINT) AS qty
+      FROM read_csv('$csvFixturePath', header=true)"""),
+    "S2 CSV scan with header + schema inference (etl1:30-38)")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
-    qDistinctKeys, qTopkGlobal, qCounts)
+    qDistinctKeys, qTopkGlobal, qCounts, qCsvScan)
 }
