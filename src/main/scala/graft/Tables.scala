@@ -17,6 +17,13 @@ object Tables {
   def ensureConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet written without isAdjustedToUTC (e.g. by DuckDB or Hive)
+    // would otherwise surface TIMESTAMP_NTZ, which epoch arithmetic
+    // (CAST(ts AS BIGINT)) rejects at analysis time — found by the sf1
+    // spot-check, whose DuckDB-built fixture broke q_events_sessionize.
+    // With the session pinned to UTC the two flavors are numerically
+    // identical, so read both as TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     graft.functions.VectorExpressions.register(spark)
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomFunctions.register(spark)
