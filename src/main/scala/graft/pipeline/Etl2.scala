@@ -86,13 +86,24 @@ object Etl2 {
       .withColumn("RTA_ID", sha2(lower(trim(col("OfficeCd"))), HashBits))
   }
 
-  /** Dimension builds (etl2:170-186) with deterministic row choice. */
+  /** Dimension builds (etl2:170-186) with deterministic row choice.
+    *
+    * Row choice is a combinable `min(struct(reg, attrs...))` aggregate,
+    * NOT a `row_number` window partitioned by the key: dim keys are
+    * LOW cardinality (tens of distinct vehicles/makers/offices), so a
+    * window funnels the whole fact-sized input into a handful of sort
+    * partitions — a skew wall at scale. The struct min compares its
+    * unique first field (tempRegistrationNumber), so it selects the
+    * exact same row as the ordered window while keeping the map-side
+    * partial-aggregation path (input shrinks to ≤ #keys rows per task
+    * before the shuffle). */
   def dimensions(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def firstPerKey(d: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(col(key))
-        .orderBy(col("tempRegistrationNumber").asc)
-      d.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "tempRegistrationNumber")
+      val others = d.columns.filter(c => c != key && c != "tempRegistrationNumber")
+      d.groupBy(col(key))
+        .agg(min(struct((col("tempRegistrationNumber") +: others.map(col)): _*))
+          .as("__m"))
+        .select(col(key) +: others.map(c => col(s"__m.`$c`").as(c)): _*)
     }
     val dimVehicle = firstPerKey(
       df.select(col("tempRegistrationNumber"), col("VEHICLE_ID"),
