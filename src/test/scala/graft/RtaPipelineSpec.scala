@@ -110,6 +110,36 @@ class RtaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("dimensions min(struct) row choice == ordered-window dedup (differential)") {
+    import org.apache.spark.sql.expressions.Window
+    // the scale-shaped aggregate (SCALE.md plan trap 4) must pick the
+    // exact rows the reference-shaped window picks on every dim
+    val keyed = Etl2.keyed(stage)
+    val (dv, dm, dr) = Etl2.dimensions(keyed)
+    def windowed(d: org.apache.spark.sql.DataFrame, key: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("tempRegistrationNumber").asc)
+      d.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn", "tempRegistrationNumber")
+    }
+    val dvW = windowed(keyed.select(col("tempRegistrationNumber"),
+      col("VEHICLE_ID"), col("modelName").as("MODEL_NAME"),
+      col("variant").as("VARIANT"),
+      col("emissionStandard").as("EMISSION_STANDARD"),
+      col("fuel_clean").as("FUEL"),
+      coalesce(col("colour"), lit("UNKNOWN")).as("COLOUR"),
+      coalesce(col("vehicleClass"), lit("UNKNOWN")).as("VEHICLE_CLASS"),
+      col("makeYear_clean").as("MAKE_YEAR"),
+      coalesce(col("seatCapacity").cast("int"), lit(0)).as("SEAT_CAPACITY"),
+      col("isElectric").as("IS_ELECTRIC")), "VEHICLE_ID")
+    assert(dv.exceptAll(dvW).isEmpty && dvW.exceptAll(dv).isEmpty)
+    val dmW = windowed(keyed.select(col("tempRegistrationNumber"),
+      col("MANUFACTURER_ID"), col("makerName").as("MAKER_NAME")),
+      "MANUFACTURER_ID")
+    assert(dm.exceptAll(dmW).isEmpty && dmW.exceptAll(dm).isEmpty)
+    assert(dr.count() == dr.select("RTA_ID").distinct().count())
+  }
+
   test("q_star_fact: fuzzy-resolved rows flow through the composed pipeline") {
     val f = SparkEntry.queries("q_star_fact")(spark, "/root/testdata/sf0.001")
       .persist()
