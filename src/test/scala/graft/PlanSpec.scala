@@ -214,4 +214,13 @@ class PlanSpec extends SparkSpec {
   test("q_bpe_pairs fuses its top-20 into TakeOrderedAndProject") {
     assert(planString("q_bpe_pairs").contains("TakeOrderedAndProject"))
   }
+
+  test("q_approx_sketches avoids exact-Percentile and Expand (r3 6.6s regression)") {
+    // the exact side must stay window-rank median + distinct→count:
+    // Spark's exact percentile() buffers every value per group, and
+    // countDistinct beside other aggs plans an input-doubling Expand
+    val plan = planString("q_approx_sketches")
+    assert(!plan.contains("percentile("), s"exact Percentile back in plan:\n$plan")
+    assert(!plan.contains("Expand"), s"countDistinct Expand back in plan:\n$plan")
+  }
 }
