@@ -293,24 +293,34 @@ object TextQueries {
       Tables.ensureConf(spark)
       // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // persisted ONCE with the shingle sets; self-joined below, and
+      // the signature derivation (8 interpreted MinHash folds per doc)
+      // must run once, not per consumer
       val base = d.select(col("doc_id"),
         shingleHashes(words(col("text"))).as("hs"))
         .withColumn("sig", minhashSignature(col("hs")))
-      val bands = base.select(col("doc_id"), col("hs"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // candidate generation is PAYLOAD-FREE: only (doc_id, band, key)
+      // enters the band self-join, so the shuffle is id-sized and the
+      // pair distinct() hashes longs, not shingle arrays. The sets
+      // re-attach per side afterwards — two id-keyed joins against the
+      // cached base instead of shipping every array 4x through the
+      // band exchange (the same bytes-never-shuffle rule as the
+      // multimodal payloads).
+      val bands = base.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
             concat_ws("_", element_at(col("sig"), 2 * j + 1),
               element_at(col("sig"), 2 * j + 2)).as("key"))): _*)).as("b"))
-        .select(col("doc_id"), col("hs"), col("b.band"), col("b.key"))
-        // self-joined below; persist so the signature derivation
-        // (8 interpreted MinHash folds per doc) runs once, not twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = bands.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .select(col("doc_id"), col("b.band"), col("b.key"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
         .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
         .withColumn("jacc_bp",
           round(lit(10000.0) * col("shared") /
