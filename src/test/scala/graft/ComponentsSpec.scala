@@ -41,4 +41,27 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(empty, escalateAfter = 0).isEmpty)
     assert(cc(empty, escalateAfter = 5).isEmpty)
   }
+
+  test("both paths agree with a union-find reference on seeded random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // min-rooted union-find: merging always keeps the smaller root,
+      // so every tree's root IS the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      val want = verts.map(v => v -> find(v.toInt).toLong).toMap
+      assert(cc(edges, escalateAfter = 0) == want, s"star path, seed $seed")
+      assert(cc(edges, escalateAfter = 50) == want, s"min-label path, seed $seed")
+    }
+  }
 }
