@@ -53,7 +53,7 @@ object BloomOps {
         val bloom = hist
           .agg(call_function("graft_bloom_agg", xxhash64(col(joinKey)),
             lit(nHist), lit(sizedBits(nHist))))
-          .head.getAs[Array[Byte]](0)
+          .head().getAs[Array[Byte]](0)
         newDocs.filter(call_function("graft_bloom_contains",
           lit(bloom), xxhash64(col(joinKey))))
       }

@@ -93,7 +93,7 @@ object Components {
     // failure mode is extra rounds into the loud backstop — never a
     // silently wrong answer.
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prevSig = signature(cur)

@@ -101,9 +101,9 @@ object Etl2 {
     def firstPerKey(d: DataFrame, key: String): DataFrame = {
       val others = d.columns.filter(c => c != key && c != "tempRegistrationNumber")
       d.groupBy(col(key))
-        .agg(min(struct((col("tempRegistrationNumber") +: others.map(col)): _*))
+        .agg(min(struct((col("tempRegistrationNumber") +: others.map(col).toSeq): _*))
           .as("__m"))
-        .select(col(key) +: others.map(c => col(s"__m.`$c`").as(c)): _*)
+        .select((col(key) +: others.map(c => col(s"__m.`$c`").as(c)).toSeq): _*)
     }
     val dimVehicle = firstPerKey(
       df.select(col("tempRegistrationNumber"), col("VEHICLE_ID"),

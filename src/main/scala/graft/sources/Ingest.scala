@@ -52,7 +52,7 @@ object Ingest {
     * files, extraction_to_local.py:36-47) becomes an explicit dedup. */
   def plan(spark: SparkSession, metadataJson: String): Seq[Download] = {
     import spark.implicits._
-    val rows = spark.read.json(Seq(metadataJson).toDS)
+    val rows = spark.read.json(Seq(metadataJson).toDS())
       .select(posexplode(col("distribution")).as(Seq("ord", "d")))
       .select(col("ord"), col("d.downloadURL").as("url"))
       .filter(col("url").isNotNull)
