@@ -774,6 +774,45 @@ object TextQueries {
     SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v"""),
     "Dup-cluster assembly: connected components via min-label propagation")
 
+  /** The APPLY step of near-dedup — the full composition a training
+    * pipeline actually runs: pair detection (df-capped inverted index)
+    * → cluster assembly (ops.Components) → drop every non-canonical
+    * cluster member via LEFT ANTI join, emitting the surviving corpus.
+    * The anti-join ships only doc ids (the non-canonical set is
+    * cluster-members-sized, not corpus-sized); document payloads never
+    * join anything. Canonical = min doc id per cluster, so the kept
+    * set is deterministic and the oracle recomputes it from the same
+    * recursive-CTE components. */
+  val qDedupApply = Q(
+    "q_dedup_apply",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val pairs = ngramJaccardPairs(spark, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nonCanonical = graft.ops.Components.connectedComponents(pairs)
+        .filter(col("vtx") =!= col("comp"))
+        .select(col("vtx").as("doc_id"))
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("n_chars_kept"))
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+    },
+    Some(s"""WITH RECURSIVE $sqlJaccardPairCtes,
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jb
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jb),
+    reach(v, r) AS (
+      SELECT u AS v, u AS r FROM edges
+      UNION
+      SELECT e.u AS v, reach.r
+      FROM edges e JOIN reach ON reach.v = e.v),
+    cc AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)
+    SELECT doc_id, source, length(text) AS n_chars_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != component)"""),
+    "Near-dedup applied: canonical survivors after cluster-member removal")
+
   /** Incremental dedup against a historical corpus via a Bloom
     * pre-filter — the shuffle-avoidance pattern for daily batches:
     * the history collapses to a KB-sized mergeable Bloom sketch
@@ -825,5 +864,5 @@ object TextQueries {
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qBpePairs,
-    qDedupComponents, qBloomPrefilter)
+    qDedupComponents, qDedupApply, qBloomPrefilter)
 }
