@@ -88,53 +88,12 @@ object VectorOps {
       .withColumn(outCol, call_function("graft_scale_div", col(inCol), col("__nrm")))
       .drop("__nrm")
 
-  /** All-pairs cosine ≥ threshold (basis points) over pre-normalized
-    * vectors, as a broadcast + per-partition primitive-array kernel.
-    *
-    * Tried declaratively twice: a nested-loop join materializing all
-    * pairs (row-copy bound), then the threshold pushed into the join
-    * condition (interpreted per-pair expression eval) — both ~10-20×
-    * slower than this loop at 2k vectors. All-pairs similarity is a
-    * genuine imperative hot loop, so this is the sanctioned
-    * mapPartitions case; at 100 TB the corpus side is LSH-blocked
-    * first (see lshBucket) so the broadcast side stays bucket-sized.
-    *
-    * Arithmetic parity with the declarative form: the while-loop is
-    * the same left-assoc accumulation as dotUnrolled, and rounding is
-    * exact-decimal HALF_UP (what Spark's `round` does). A pair passes
-    * iff its exact cos×10000 ≥ threshold − 0.5, which is precisely
-    * "HALF_UP(cos_bp) ≥ threshold".
-    */
-  def allPairsCosineAtLeast(
-      df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
-      thresholdBp: Long, parallelism: Int): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Double])]
-    val side = spark.sparkContext.broadcast(ds.collect())
-    val cut = thresholdBp - 0.5
-    ds.repartition(parallelism).mapPartitions { it =>
-      val all = side.value
-      it.flatMap { case (ida, va) =>
-        all.iterator.collect { case (idb, vb) if idb > ida && {
-          var s = 0.0; var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          s * 10000 >= cut
-        } =>
-          var s = 0.0; var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          val bp = new java.math.BigDecimal(s * 10000)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-          (ida, idb, bp)
-        }
-      }
-    }.toDF(s"${idCol}_a", s"${idCol}_b", "cos_bp")
-  }
-
   /** Per-bucket all-pairs cosine ≥ threshold (basis points) over
-    * pre-normalized vectors — the 100 TB shape of
-    * [[allPairsCosineAtLeast]]. Vectors arrive pre-bucketed (LSH /
+    * pre-normalized vectors — the 100 TB shape of exhaustive pair
+    * similarity (the exact corpus-collect baseline lives in test scope,
+    * `graft.dev.DevBaselines.allPairsCosineAtLeast`, so `src/main`
+    * contains no all-pairs/driver-collect code). Vectors arrive
+    * pre-bucketed (LSH /
     * IVF coarse quantizer); each bucket's pairs run through the same
     * primitive-array kernel inside flatMapGroups, so there is no
     * corpus-sized collect and no all-pairs join: driver memory is

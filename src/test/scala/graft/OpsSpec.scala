@@ -125,10 +125,73 @@ class OpsSpec extends SparkSpec {
     assert(BloomOps.sizedBits(100000L, 0.01) == 958512L)
     // floor: tiny/zero histories still get a minimal aligned filter
     assert(BloomOps.sizedBits(0L) == 64L && BloomOps.sizedBits(1L) == 64L)
-    // ceiling: Spark's BloomFilterAggregate maxNumBits
-    assert(BloomOps.sizedBits(100000000L, 0.01) == BloomOps.MaxNumBits)
+    // ceiling: Spark's default BloomFilterAggregate maxNumBits (the
+    // SINGLE-sketch path clamps; the sharded path never does)
+    assert(BloomOps.sizedBits(100000000L, 0.01) == BloomOps.DefaultMaxNumBits)
     intercept[IllegalArgumentException](BloomOps.sizedBits(-1L))
     intercept[IllegalArgumentException](BloomOps.sizedBits(10L, 0.0))
+  }
+
+  test("BloomOps.numShards keeps every shard under the cap at target FPP") {
+    // under-cap history → 1 shard
+    assert(BloomOps.numShards(1000L, 0.01, 67108864L) == 1)
+    // the 8 MB default cap holds ~7.0M items at 1%; 10M needs 2 shards
+    assert(BloomOps.numShards(7000000L, 0.01, 67108864L) == 1)
+    assert(BloomOps.numShards(10000000L, 0.01, 67108864L) == 2)
+    // every shard's optimal sizing fits the cap across a sweep,
+    // including alignment-slack edges (combos whose shard count would
+    // exceed the 4096 literal-probe bound are asserted below instead)
+    for (n <- Seq(1L, 100L, 999983L, 7000000L, 7100000L, 50000000L,
+        123456789L); cap <- Seq(8192L, 65536L, 67108864L)
+        if BloomOps.optimalBits(n, 0.01) / cap < 4096) {
+      val shards = BloomOps.numShards(n, 0.01, cap)
+      val perShard = (n + shards - 1) / shards
+      assert(BloomOps.optimalBits(perShard, 0.01) <= cap,
+        s"n=$n cap=$cap shards=$shards")
+    }
+    // past the literal-probe bound the require fires loudly (123M items
+    // at a 1 KB cap would need 8197 shards) — the partition-wise
+    // build/probe documented in SCALE.md is the next boundary
+    intercept[IllegalArgumentException](BloomOps.numShards(123456789L, 0.01, 8192L))
+    intercept[IllegalArgumentException](BloomOps.numShards(10L, 0.01, 8L))
+  }
+
+  test("BloomOps sharded prefilter: exact result + FPP holds past the cap") {
+    // Lower the session cap so a 20k-item history exceeds it (the same
+    // conf Spark's BloomFilterAggregate clamps against), forcing the
+    // fingerprint-prefix sharded path at test scale.
+    val capConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val old = spark.conf.getOption(capConf)
+    spark.conf.set(capConf, "8192")
+    try {
+      val hist = spark.range(20000)
+        .select(concat(lit("h"), col("id")).as("fp"), col("id").as("canonical"))
+        .persist()
+      // 10k members (dups) + 10k non-members interleaved
+      val novel = spark.range(10000)
+        .select(concat(lit("h"), (col("id") * 2)).as("fp"), col("id").as("doc_id"))
+        .union(spark.range(10000)
+          .select(concat(lit("x"), col("id")).as("fp"),
+            (col("id") + 10000).as("doc_id")))
+      val shards = BloomOps.numShards(20000L, BloomOps.TargetFpp, 8192L)
+      assert(shards >= 24, s"expected a genuinely sharded run, got $shards")
+      // exact output: prefilteredJoin == plain join (verify kills FPs)
+      val got = BloomOps.prefilteredJoin(hist, novel, "fp")
+        .select("doc_id", "canonical").as[(Long, Long)].collect().sorted
+      val want = novel.join(hist, Seq("fp"))
+        .select("doc_id", "canonical").as[(Long, Long)].collect().sorted
+      assert(got.nonEmpty && got.sameElements(want))
+      // FPP contract: among the 10k non-members, survivors ≈ 1%
+      val fpSurvivors = BloomOps.prefilter(hist, novel, "fp")
+        .filter(col("fp").startsWith("x")).count()
+      assert(fpSurvivors < 300L, s"FPP degraded: $fpSurvivors/10000 false positives")
+      hist.unpersist()
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(capConf, v)
+        case None => spark.conf.unset(capConf)
+      }
+    }
   }
 
   test("BloomOps.prefilteredJoin short-circuits an empty history") {

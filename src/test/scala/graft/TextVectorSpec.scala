@@ -98,7 +98,7 @@ class TextVectorSpec extends SparkSpec {
       .select(col("vec_id"), col("vn"))
     // 4000 bp, not the registry's 4500: sf0.001 has no pair ≥ 0.45 that
     // also shares a 4-plane bucket, and an empty set would vacuously pass.
-    val exact = VectorOps.allPairsCosineAtLeast(n, "vec_id", "vn", 4000L, 4)
+    val exact = graft.dev.DevBaselines.allPairsCosineAtLeast(n, "vec_id", "vn", 4000L, 4)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
     val bucketed = VectorOps.bucketedPairsCosineAtLeast(
         n.withColumn("bucket", VectorOps.lshBucket(col("vn"), 4, 64)),
