@@ -86,12 +86,15 @@ object Components {
     // u > v. Establish it on the input first.
     var cur = sym.filter(col("u") > col("v")).distinct().localCheckpoint()
     sym.unpersist(false)
-    // consecutive-round fixpoint test: the operations are deterministic
-    // functions of the edge multiset, so an identical (count, hash-sum)
-    // signature means every future round is identical too. A signature
-    // collision between DIFFERENT consecutive states is ~2^-64 and the
-    // failure mode is extra rounds into the loud backstop — never a
-    // silently wrong answer.
+    // consecutive-round fixpoint test: a cheap (count, hash-sum)
+    // signature GATE, confirmed by an exact set compare when it fires.
+    // The signature alone would fail in the dangerous direction: a
+    // ~2^-64 collision between different consecutive states would end
+    // the loop EARLY and ship wrong labels silently (not, as a round-3
+    // comment claimed, cost extra rounds). The exact confirm — counts
+    // already equal via the signature, so one-sided exceptAll emptiness
+    // implies set equality — runs only when the gate fires, i.e. once
+    // at true convergence, keeping the loop at one action per round.
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -119,7 +122,7 @@ object Components {
         .distinct()
         .localCheckpoint()
       val sig = signature(ss)
-      converged = sig == prevSig
+      converged = sig == prevSig && ss.exceptAll(cur).isEmpty
       prevSig = sig
       cur = ss
       rounds += 1

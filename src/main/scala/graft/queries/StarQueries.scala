@@ -120,6 +120,12 @@ object StarQueries {
     // computed by keyed() before the typo, so the fact's fallback
     // coalesce also carries the original id — resolution correctness,
     // not the coalesce, is what the fuzzy flag witnesses.
+    // The oracle's IS_FUZZY_MATCH = (slno%13=1) rule rests on fixture
+    // invariants (non-null >=2-char models on the slice; corrupted
+    // keys >= levenshtein 2 from every other in-block dim candidate)
+    // pinned with targeted messages in RtaPipelineSpec
+    // ("q_star_fact fixture invariants...") — change the synth or the
+    // corruption and that test, not an oracle hash, is what fails.
     val dfObs = df.withColumn("modelName",
       when(col("slno") % 13 === 1, concat(col("modelName"), lit("Q")))
         .otherwise(col("modelName")))

@@ -157,6 +157,51 @@ class RtaPipelineSpec extends SparkSpec {
     } finally { f.unpersist() }
   }
 
+  test("q_star_fact fixture invariants behind the slno%13 oracle rule") {
+    // The q_star_fact oracle hard-codes IS_FUZZY_MATCH = (slno%13=1).
+    // That rule is only correct under fixture invariants this test
+    // pins EXPLICITLY, so a fixture change fails here with a targeted
+    // message instead of surfacing as an opaque oracle hash mismatch
+    // (ADVICE r3). Invariants, per Etl2.resolveVehicles semantics:
+    val keyed = Etl2.keyed(Etl1.stage(
+      graft.queries.StarQueries.rawSynth(spark, "/root/testdata/sf0.001")))
+    // 1. every corrupted-slice observation keeps a usable model: the
+    //    "+Q" typo must leave modelName non-null with a >=2-char
+    //    trimmed prefix, or the row would skip the fuzzy block and
+    //    come out non-fuzzy, breaking the %13 rule
+    val slice = keyed.filter(col("slno") % 13 === 1)
+    val badModel = slice
+      .filter(col("modelName").isNull || length(trim(col("modelName"))) < 2)
+      .count()
+    assert(badModel == 0,
+      s"$badModel corrupted-slice rows have null/short modelName — " +
+        "they would miss the fuzzy block and falsify the %13 oracle rule")
+    // 2. within every (2-char model prefix, make-year) fuzzy block,
+    //    the corrupted key "<model>Q <variant>" is at levenshtein >= 2
+    //    from every OTHER dim candidate (its own original is at
+    //    exactly 1), so the original is the unique best match — no
+    //    tiebreak dependence, and no accidental exact match either
+    val (dv, _, _) = Etl2.dimensions(keyed)
+    val cand = dv.select(
+      col("VEHICLE_ID").as("vid"),
+      substring(lower(trim(col("MODEL_NAME"))), 1, 2).as("block"),
+      col("MAKE_YEAR").cast("string").as("yr"),
+      lower(trim(concat_ws(" ", col("MODEL_NAME"), col("VARIANT"))))
+        .as("fuzzy_key"),
+      lower(trim(concat_ws(" ", concat(col("MODEL_NAME"), lit("Q")),
+        col("VARIANT")))).as("corrupt_key"))
+    val ambiguous = cand.as("a")
+      .join(cand.as("b"),
+        col("a.block") === col("b.block") && col("a.yr") === col("b.yr") &&
+          col("a.vid") =!= col("b.vid") &&
+          levenshtein(col("a.corrupt_key"), col("b.fuzzy_key")) < 2)
+      .count()
+    assert(ambiguous == 0,
+      s"$ambiguous dim pairs are within levenshtein 1 of a corrupted " +
+        "key in the same fuzzy block — resolution would be ambiguous " +
+        "and the %13 oracle rule unsound")
+  }
+
   test("fuzzy resolution engages when the dim lacks the exact key") {
     val stageDf = Etl2.keyed(stage)
     // dim with the model one edit away ("SWIFT VDJ" vs "SWIFT VDI"),
