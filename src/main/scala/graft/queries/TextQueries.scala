@@ -287,54 +287,70 @@ object TextQueries {
     * candidates share a band, verified with true Jaccard over hashed
     * shingle sets. Scale: band buckets bound the pair space —
     * no all-pairs work anywhere. */
-  val qDedupMinhashLsh = Q(
-    "q_dedup_minhash_lsh",
-    (spark, dir) => {
-      Tables.ensureConf(spark)
-      // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
-      val d = load(spark, dir, "documents").repartition(col("doc_id"))
-      // persisted ONCE with the shingle sets; self-joined below, and
-      // the signature derivation (8 interpreted MinHash folds per doc)
-      // must run once, not per consumer
-      val base = d.select(col("doc_id"),
-        shingleHashes(words(col("text"))).as("hs"))
-        .withColumn("sig", minhashSignature(col("hs")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // candidate generation is PAYLOAD-FREE: only (doc_id, band, key)
-      // enters the band self-join, so the shuffle is id-sized and the
-      // pair distinct() hashes longs, not shingle arrays. The sets
-      // re-attach per side afterwards — two id-keyed joins against the
-      // cached base instead of shipping every array 4x through the
-      // band exchange (the same bytes-never-shuffle rule as the
-      // multimodal payloads).
-      val bands = base.select(col("doc_id"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            concat_ws("_", element_at(col("sig"), 2 * j + 1),
-              element_at(col("sig"), 2 * j + 2)).as("key"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.key"))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
-          Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
-        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
-        .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
-        .withColumn("jacc_bp",
-          round(lit(10000.0) * col("shared") /
-            (size(col("ha")) + size(col("hb")) - col("shared"))).cast("long"))
-        .select("doc_a", "doc_b", "shared", "jacc_bp")
-    },
-    Some("""WITH d AS (
+  /** MinHash+LSH near-dedup, parameterized by (bands, rows) — derived
+    * from a target Jaccard threshold via `LshPlanner.plan` (S-curve,
+    * public formula) instead of the round-1..3 fixed constants. The
+    * native `graft_minhash` kernel always emits the 8-wide signature;
+    * a configuration uses its first bands·rows elements, so every
+    * configuration shares one row-local derivation and the hash
+    * budget is the planner's search space. */
+  private def minhashLshDf(bands: Int, rows: Int)(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    require(bands * rows <= 8, s"signature width is 8, need bands*rows <= 8")
+    Tables.ensureConf(spark)
+    // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
+    val d = load(spark, dir, "documents").repartition(col("doc_id"))
+    // persisted ONCE with the shingle sets; self-joined below, and
+    // the signature derivation (8 interpreted MinHash folds per doc)
+    // must run once, not per consumer
+    val base = d.select(col("doc_id"),
+      shingleHashes(words(col("text"))).as("hs"))
+      .withColumn("sig", minhashSignature(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation is PAYLOAD-FREE: only (doc_id, band, key)
+    // enters the band self-join, so the shuffle is id-sized and the
+    // pair distinct() hashes longs, not shingle arrays. The sets
+    // re-attach per side afterwards — two id-keyed joins against the
+    // cached base instead of shipping every array bands× through the
+    // band exchange (the same bytes-never-shuffle rule as the
+    // multimodal payloads).
+    val bandCols = base.select(col("doc_id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          concat_ws("_", (1 to rows).map(i =>
+            element_at(col("sig"), j * rows + i)): _*).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.key"))
+    val cand = bandCols.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(bandCols.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jacc_bp",
+        round(lit(10000.0) * col("shared") /
+          (size(col("ha")) + size(col("hb")) - col("shared"))).cast("long"))
+      .select("doc_a", "doc_b", "shared", "jacc_bp")
+  }
+
+  /** DuckDB mirror of [[minhashLshDf]] for the same (bands, rows):
+    * the band structs are generated from the parameters, everything
+    * else is the fixed signature pipeline. */
+  private def minhashLshSql(bands: Int, rows: Int): String = {
+    val bandStructs = (0 until bands).map { j =>
+      val elems = (1 to rows).map(i => s"sig[${j * rows + i}]").mkString(", ")
+      s"{'band': $j, 'key': concat_ws('_', $elems)}"
+    }.mkString(",\n        ")
+    s"""WITH d AS (
       SELECT doc_id,
         list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
           FOR x IN (CASE WHEN len(w) >= 3
             THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
             ELSE [array_to_string(w, ' ')] END)]) AS hs
       FROM (SELECT doc_id,
-        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
         FROM documents)),
     sg AS (
       SELECT doc_id, hs,
@@ -349,10 +365,7 @@ object TextQueries {
       FROM d),
     bands AS (
       SELECT doc_id, hs, unnest([
-        {'band': 0, 'key': concat_ws('_', sig[1], sig[2])},
-        {'band': 1, 'key': concat_ws('_', sig[3], sig[4])},
-        {'band': 2, 'key': concat_ws('_', sig[5], sig[6])},
-        {'band': 3, 'key': concat_ws('_', sig[7], sig[8])}], recursive := true)
+        $bandStructs], recursive := true)
       FROM sg),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -364,8 +377,35 @@ object TextQueries {
       CAST(round(10000.0 * len(list_filter(ha, h -> list_contains(hb, h)))
         / (len(ha) + len(hb) - len(list_filter(ha, h -> list_contains(hb, h)))))
         AS BIGINT) AS jacc_bp
-    FROM cand"""),
+    FROM cand"""
+  }
+
+  /** The round-1..3 configuration, now DERIVED: plan(0.5, 8) = 4 bands
+    * × 2 rows — S-curve threshold exactly (1/4)^(1/2) = 0.5. Results
+    * are byte-identical to the previous fixed-constant form
+    * (PropertySpec pins the derivation). */
+  val MinhashDefault: (Int, Int) = graft.ops.LshPlanner.plan(0.5, 8)
+
+  val qDedupMinhashLsh = Q(
+    "q_dedup_minhash_lsh",
+    (spark, dir) =>
+      minhashLshDf(MinhashDefault._1, MinhashDefault._2)(spark, dir),
+    Some(minhashLshSql(MinhashDefault._1, MinhashDefault._2)),
     "Near-dedup: MinHash signatures + LSH bands + Jaccard verify")
+
+  /** Second derived configuration (VERDICT r3 item 5): target Jaccard
+    * 0.8 under the same 8-hash budget → plan picks 2 bands × 3 rows
+    * (threshold (1/2)^(1/3) ≈ 0.794) — fewer, steeper bands, so only
+    * strongly-similar pairs surface and candidate volume drops. Same
+    * signature derivation, different banding: precision/recall is now
+    * a stated target, not a constant. */
+  val MinhashT8: (Int, Int) = graft.ops.LshPlanner.plan(0.8, 8)
+
+  val qDedupMinhashLshT8 = Q(
+    "q_dedup_minhash_lsh_t8",
+    (spark, dir) => minhashLshDf(MinhashT8._1, MinhashT8._2)(spark, dir),
+    Some(minhashLshSql(MinhashT8._1, MinhashT8._2)),
+    "Near-dedup: MinHash LSH at a planned 0.8 Jaccard threshold")
 
   /** SimHash: 60-bit signature per doc (every bit from an independent
     * md5 bit via [[TextOps.stringHash60]]), then near-dup pairs via
@@ -862,6 +902,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
+    qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qBpePairs,
     qDedupComponents, qDedupApply, qBloomPrefilter)

@@ -262,4 +262,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("LshPlanner derives band/row splits from the S-curve") {
+    import graft.ops.LshPlanner._
+    // closed forms
+    assert(sCurveThreshold(4, 2) == 0.5) // (1/4)^(1/2)
+    assert(math.abs(sCurveThreshold(2, 3) - math.pow(0.5, 1.0 / 3)) < 1e-12)
+    // the registry default IS the planned 0.5-threshold configuration —
+    // byte-identical results to the former fixed constants
+    assert(plan(0.5, 8) == (4, 2))
+    assert(graft.queries.TextQueries.MinhashDefault == (4, 2))
+    // the 0.8-target configuration: 2 bands x 3 rows, threshold ~0.794
+    assert(plan(0.8, 8) == (2, 3))
+    assert(graft.queries.TextQueries.MinhashT8 == (2, 3))
+    // planner respects the budget and tracks the target across a sweep
+    forAll(Gen.choose(0.05, 0.95), Gen.choose(2, 8)) { (t: Double, k: Int) =>
+      val (b, r) = plan(t, k)
+      assert(b * r <= k && b >= 1 && r >= 1)
+      // no other candidate under the budget is strictly closer
+      val best = (for { rr <- 1 to k; bb <- 1 to k / rr }
+        yield math.abs(sCurveThreshold(bb, rr) - t)).min
+      assert(math.abs(sCurveThreshold(b, r) - t) <= best + 1e-12)
+    }
+    // collision probability: monotone in s, equals s^r at b=1,
+    // and crosses 1/2 near the threshold (the S-curve inflection)
+    forAll(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(1, 4), Gen.choose(1, 4))) {
+      case (s: Double, b: Int, r: Int) =>
+        val p = collisionProbability(s, b, r)
+        assert(p >= 0 && p <= 1)
+        assert(collisionProbability(math.min(1.0, s + 0.1), b, r) >= p - 1e-12)
+        assert(math.abs(collisionProbability(s, 1, r) - math.pow(s, r)) < 1e-12)
+    }
+    assert(collisionProbability(sCurveThreshold(4, 2), 4, 2) > 0.4 &&
+      collisionProbability(sCurveThreshold(4, 2), 4, 2) < 0.75)
+  }
 }
