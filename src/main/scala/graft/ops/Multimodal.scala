@@ -121,6 +121,126 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.mime, b.length.toLong, w, h, 3, frames, pixelSum)
   }
 
+  val WavMime = "audio/wav"
+
+  /** An audio row: id + opaque payload + declared mime. */
+  final case class AudioRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Typed WAV decode output. `sample_sum` sums every decoded PCM
+    * sample value across channels — content evidence the decoder read
+    * the whole data chunk, the audio twin of pixel_sum. */
+  final case class AudioFeatures(
+      doc_id: Long, mime: String, n_bytes: Long,
+      channels: Int, sample_rate: Int, bits: Int, n_samples: Int,
+      sample_sum: Long)
+
+  /** Deterministic audio fixture: each document becomes a canonical
+    * 44-byte-header RIFF/WAVE PCM file whose parameters derive from
+    * the utf-8 text length n and doc id — closed forms a SQL oracle
+    * recomputes without touching bytes:
+    *   sample_rate = 8000 + (n % 3) * 4000, channels = 1 + id % 2,
+    *   16-bit, n_samples = 64 + n % 256 per channel, and interleaved
+    *   value j (over n_samples*channels values) =
+    *   (id*31 + j*7) % 65536 − 32768. Payloads stay ≈ 1 KB. */
+  def packWav(df: DataFrame, idCol: String, textCol: String): Dataset[AudioRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        val sampleRate = 8000 + (n % 3) * 4000
+        val channels = (1 + id % 2).toInt
+        val nSamples = 64 + n % 256
+        val m = nSamples * channels
+        val dataBytes = m * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.putInt(36 + dataBytes) // RIFF payload size
+        bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.putInt(16)             // PCM fmt chunk size
+        bb.putShort(1)            // audio format: PCM
+        bb.putShort(channels.toShort)
+        bb.putInt(sampleRate)
+        bb.putInt(sampleRate * channels * 2) // byte rate
+        bb.putShort((channels * 2).toShort)  // block align
+        bb.putShort(16)           // bits per sample
+        bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.putInt(dataBytes)
+        var j = 0
+        while (j < m) {
+          bb.putShort((((id * 31 + j * 7) % 65536) - 32768).toShort)
+          j += 1
+        }
+        AudioRow(id, bb.array(), WavMime)
+      }
+  }
+
+  /** Batched WAV decode boundary — same mapPartitions shape as
+    * [[decodeFeatures]]; proves the typed decode boundary generalizes
+    * beyond one codec. Malformed bytes fail loudly. */
+  def decodeAudio(ds: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeWav))
+  }
+
+  /** RIFF/WAVE PCM parser: RIFF grammar, fmt chunk fields, then a
+    * full sample scan of the data chunk. Unknown chunks before data
+    * are skipped per the RIFF spec; PCM 16-bit only. */
+  private def decodeWav(r: AudioRow): AudioFeatures = {
+    val b = r.payload
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg")
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, len: Int): String =
+      new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 44) fail(s"short WAV: ${b.length} bytes")
+    if (ascii(0, 4) != "RIFF") fail("bad RIFF magic")
+    val riffSize = bb.getInt(4)
+    if (riffSize != b.length - 8) fail(s"RIFF size $riffSize != ${b.length - 8}")
+    if (ascii(8, 4) != "WAVE") fail("bad WAVE tag")
+    var off = 12
+    var channels = -1
+    var sampleRate = -1
+    var bits = -1
+    var nSamples = -1
+    var sampleSum = 0L
+    var sawData = false
+    while (off + 8 <= b.length) {
+      val tag = ascii(off, 4)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > b.length)
+        fail(s"chunk $tag overruns payload at offset $off")
+      tag match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too small: $size")
+          val fmt = bb.getShort(off + 8)
+          if (fmt != 1) fail(s"unsupported audio format $fmt (PCM only)")
+          channels = bb.getShort(off + 10)
+          sampleRate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+          if (bits != 16) fail(s"unsupported bit depth $bits")
+          if (channels < 1) fail(s"bad channel count $channels")
+        case "data" =>
+          if (channels < 0) fail("data chunk before fmt chunk")
+          if (size % (channels * 2) != 0)
+            fail(s"data size $size not a frame multiple")
+          var p = off + 8
+          val end = off + 8 + size
+          while (p < end) { sampleSum += bb.getShort(p); p += 2 }
+          nSamples = size / (channels * 2)
+          sawData = true
+        case _ => () // RIFF allows unknown chunks; skip
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!sawData) fail("no data chunk")
+    AudioFeatures(r.doc_id, r.mime, b.length.toLong, channels, sampleRate,
+      bits, nSamples, sampleSum)
+  }
+
   /** Aspect-preserving fit of (widthCol, heightCol) into a square
     * target box — the standard pre-processing resize. Pure integer
     * letterbox arithmetic, row-local and codegen'd; a real pipeline

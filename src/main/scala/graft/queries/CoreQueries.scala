@@ -275,7 +275,14 @@ object CoreQueries {
     * dates — written fresh to /tmp on every build so the DuckDB oracle
     * can read_csv the same bytes. Projections CAST every column on
     * both sides: the query verifies the scan/parse, not each engine's
-    * inference taste. */
+    * inference taste.
+    *
+    * LOCAL-MODE-ONLY side effect: the builder writes the fixture to a
+    * driver-local path, which executors can only read because this
+    * engine's test/driver environment is single-JVM local[*]. On a
+    * multi-executor cluster the fixture would have to live on shared
+    * storage (HDFS/object store) — the scan itself is
+    * deployment-agnostic. Re-invocation is idempotent (same bytes). */
   val csvFixturePath = "/tmp/graft_csv_scan/data.csv"
   private val csvFixture =
     """id,amount,label,d,qty
@@ -320,7 +327,41 @@ object CoreQueries {
       FROM read_csv('$csvFixturePath', header=true)"""),
     "S2 CSV scan with header + schema inference (etl1:30-38)")
 
+  /** S5 oracle coverage (VERDICT r3 item 6): the partitioned-parquet
+    * sink is exercised end-to-end — write `orders` partitioned by
+    * derived year, read it back WITH a partition predicate, aggregate.
+    * DuckDB mirrors the read side via read_parquet(hive_partitioning),
+    * proving the hive layout Spark wrote is the layout other engines
+    * read, and PlanSpec pins that the predicate lands in
+    * partitionFilters (pruned directories), not data filters.
+    * Same LOCAL-MODE-ONLY path note as q_csv_scan: the fixed /tmp dir
+    * is shared driver/executor state only because this environment is
+    * single-JVM; a cluster deployment points it at shared storage.
+    * Re-invocation overwrites idempotently. */
+  val partRoundtripPath = "/tmp/graft_part_roundtrip"
+  val qPartitionedRoundtrip = Q(
+    "q_partitioned_roundtrip",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .parquet(partRoundtripPath)
+      spark.read.parquet(partRoundtripPath)
+        .filter(col("o_year").between(1994, 1996))
+        .groupBy(col("o_year").cast("int").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100)).cast("long").as("total_cents"))
+    },
+    Some(s"""SELECT CAST(o_year AS INTEGER) AS o_year, o_orderstatus,
+      COUNT(*) AS n,
+      CAST(SUM(round(o_totalprice*100)) AS BIGINT) AS total_cents
+      FROM read_parquet('$partRoundtripPath/*/*.parquet', hive_partitioning=true)
+      WHERE o_year BETWEEN 1994 AND 1996
+      GROUP BY 1, 2"""),
+    "S5 partitioned parquet sink + pruned hive read-back roundtrip")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
-    qDistinctKeys, qTopkGlobal, qCounts, qCsvScan)
+    qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip)
 }

@@ -253,6 +253,46 @@ class OpsSpec extends SparkSpec {
     assert(x.pixel_sum == (4 + 5).toLong * 2 * 2 * 3)
   }
 
+  test("Multimodal WAV decode parses a hand-built RIFF file bit-exactly") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // hand-assembled mono 16-bit WAV, 3 samples (5, -2, 100), plus an
+    // unknown 'LIST' chunk between fmt and data that the RIFF grammar
+    // says to skip
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes(ascii) ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val list = "LIST".getBytes(ascii) ++ le32(4) ++ "INFO".getBytes(ascii)
+    val data = "data".getBytes(ascii) ++ le32(6) ++
+      le16(5) ++ le16(-2 & 0xffff) ++ le16(100)
+    val body = "WAVE".getBytes(ascii) ++ fmt ++ list ++ data
+    val bytes = "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
+    val got = Multimodal.decodeAudio(
+      Seq(Multimodal.AudioRow(42L, bytes, Multimodal.WavMime)).toDS()).head()
+    assert(got == Multimodal.AudioFeatures(42L, Multimodal.WavMime,
+      bytes.length.toLong, 1, 8000, 16, 3, 5L - 2L + 100L))
+    // malformed input fails loudly: data chunk overruns the payload
+    val bad = bytes.dropRight(2)
+    intercept[Exception] {
+      Multimodal.decodeAudio(
+        Seq(Multimodal.AudioRow(7L, bad, Multimodal.WavMime)).toDS()).head()
+    }
+  }
+
+  test("Multimodal packWav → decodeAudio round-trips the closed forms") {
+    val df = Seq((3L, "hello world"), (260L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.decodeAudio(Multimodal.packWav(df, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    val h = got(3L) // n = 11: rate 8000+(11%3)*4000=16000, 2ch, 75 samples
+    assert((h.channels, h.sample_rate, h.bits, h.n_samples) == ((2, 16000, 16, 75)))
+    assert(h.n_bytes == 44L + 75 * 2 * 2)
+    assert(h.sample_sum == (0 until 150).map(j => (3L * 31 + j * 7) % 65536 - 32768).sum)
+    val x = got(260L) // n = 1: rate 12000, 1ch (260 even), 65 samples
+    assert((x.channels, x.sample_rate, x.n_samples) == ((1, 12000, 65)))
+    assert(x.sample_sum == (0 until 65).map(j => (260L * 31 + j * 7) % 65536 - 32768).sum)
+  }
+
   test("Multimodal.fitSquare letterboxes exactly; sampleFrames strides strictly") {
     val d = Seq((1L, 509, 251, 7), (2L, 100, 200, 3), (3L, 1, 1, 1),
       (4L, 224, 224, 5)).toDF("doc_id", "width", "height", "n_frames")

@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_partitioned_roundtrip read-back scan prunes by partition") {
+    val fs = scans("q_partitioned_roundtrip")
+    assert(fs.nonEmpty)
+    assert(fs.exists(_.partitionFilters.exists(_.references.exists(_.name == "o_year"))),
+      s"o_year predicate not in partitionFilters: ${fs.map(_.partitionFilters)}")
+  }
+
   test("q_join_anti broadcasts the (tiny) filtered side") {
     val plan = planString("q_join_anti")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
