@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       binfo("graft_bloom_contains"),
       (es: Seq[Expression]) => { arity("graft_bloom_contains", 2, es)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_sharded"),
+      binfo("graft_bloom_sharded"),
+      (es: Seq[Expression]) => { arity("graft_bloom_sharded", 2, es)
+        BloomFunctions.ShardedBloomContains(es(0), es(1)) }))
     def tinfo(name: String) =
       new ExpressionInfo(TextExpressions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),

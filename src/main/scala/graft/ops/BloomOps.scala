@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{call_function, col, lit, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{array, call_function, col, lit, pmod, when, xxhash64}
 
 /** Bloom-prefiltered incremental dedup (`q_bloom_prefilter`): sizing
   * formula plus the sketch-build/probe/verify composition. Split out
@@ -61,15 +61,23 @@ object BloomOps {
   /** Smallest shard count N such that a shard holding ceil(n/N) items
     * sizes under capBits at the target FPP. N = ceil(optimal/cap) is
     * the right answer up to alignment slack; the loop absorbs the
-    * slack exactly instead of approximating it. */
+    * slack exactly instead of approximating it.
+    *
+    * The 4096 bound guards total sketch MEMORY, not probe code size
+    * (the O(1)-routing graft_bloom_sharded expression removed that
+    * limit): N shards carry up to N·capBits/8 bytes of sketch through
+    * the plan — 32 GB at the default cap, far past any sensible
+    * driver/broadcast budget. A history that large should be key-range
+    * partitioned into independent prefilter jobs (see SCALE.md). */
   def numShards(numItems: Long, fpp: Double = TargetFpp,
       capBits: Long = DefaultMaxNumBits): Int = {
     require(capBits >= 64, s"capBits must be >= 64, got $capBits")
     var n = math.max(1L,
       math.ceil(optimalBits(numItems, fpp).toDouble / capBits).toLong)
     while (optimalBits(ceilDiv(numItems, n), fpp) > capBits) n += 1
-    require(n <= 4096, s"numShards $n exceeds the literal-probe bound; " +
-      "partition-wise build/probe is the next boundary (see SCALE.md)")
+    require(n <= 4096, s"numShards $n exceeds the sketch-memory bound " +
+      "(n*capBits/8 bytes would ship with the plan); key-range partition " +
+      "the history into independent prefilter jobs instead (see SCALE.md)")
     n.toInt
   }
 
@@ -95,13 +103,29 @@ object BloomOps {
       .select(col("__shard").cast("int"), col("__bloom"))
       .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
 
-  /** Might-contain over sharded sketches: route by shard id, then one
-    * literal-sketch BloomFilterMightContain per branch. Every branch
-    * keeps the bloom side foldable (Spark's requirement), each row
-    * evaluates exactly one contains, and the chain stays codegen'd.
-    * Rows whose shard has no sketch fall through to false — no history
-    * hashed there, so they cannot be duplicates. */
+  /** Might-contain over sharded sketches, O(1) per row at any shard
+    * count: the dense array<binary> of sketches travels as ONE foldable
+    * literal into `graft_bloom_sharded`, which deserializes once per
+    * executor, routes shard = floorMod(hash, N), and evaluates exactly
+    * one mightContainLong. Rows whose shard has no sketch (null array
+    * element) probe to false — no history hashed there, so they cannot
+    * be duplicates. */
   def shardedContains(sketches: Array[(Int, Array[Byte])], key: Column,
+      nShards: Int): Column = {
+    val dense = new Array[Array[Byte]](nShards)
+    sketches.foreach { case (id, bloom) => dense(id) = bloom }
+    val sketchLit = array(dense.map(b =>
+      if (b == null) lit(null).cast("binary") else lit(b)).toSeq: _*)
+    call_function("graft_bloom_sharded", sketchLit, xxhash64(key))
+  }
+
+  /** The composed public-machinery equivalent of [[shardedContains]]:
+    * route by shard id through a foldable when-chain with one
+    * literal-sketch BloomFilterMightContain per branch. Semantically
+    * identical (OpsSpec differential-tests them); generated code grows
+    * linearly in shard count, so the O(1) expression is the production
+    * path and this is the executable spec of what it computes. */
+  def shardedContainsChain(sketches: Array[(Int, Array[Byte])], key: Column,
       nShards: Int): Column = {
     val s = shardId(key, nShards)
     val h = xxhash64(key)

@@ -194,6 +194,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_bloom_sharded (O(1) probe) equals the when-chain equivalent") {
+    // build genuinely sharded sketches at a lowered cap, then compare
+    // the production O(1)-routing expression against the composed
+    // public-machinery when-chain on members, non-members, and rows
+    // routing to empty shards
+    val hist = spark.range(5000)
+      .select(concat(lit("k"), col("id")).as("fp")).persist()
+    hist.count()
+    val n = BloomOps.numShards(5000L, BloomOps.TargetFpp, 8192L)
+    assert(n >= 6, s"want a multi-shard case, got $n")
+    val perShard = (5000L + n - 1) / n
+    val sketches = BloomOps.shardedSketches(hist, "fp", n, perShard,
+      BloomOps.optimalBits(perShard))
+    val probes = spark.range(8000)
+      .select(concat(lit("k"), col("id")).as("fp")) // 5000 in, 3000 out
+    val got = probes
+      .withColumn("native", BloomOps.shardedContains(sketches, col("fp"), n))
+      .withColumn("chain", BloomOps.shardedContainsChain(sketches, col("fp"), n))
+    assert(got.filter(col("native") =!= col("chain")).count() == 0)
+    // no false negatives on the 5000 members
+    assert(got.filter(expr("CAST(substring(fp, 2) AS BIGINT) < 5000"))
+      .filter(!col("native")).count() == 0)
+    hist.unpersist()
+  }
+
   test("BloomOps.prefilteredJoin short-circuits an empty history") {
     val hist = Seq.empty[(String, Long)].toDF("fp", "canonical")
     val novel = Seq(("a", 1L), ("b", 2L)).toDF("fp", "doc_id")

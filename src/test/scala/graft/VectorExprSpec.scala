@@ -90,7 +90,7 @@ class VectorExprSpec extends SparkSpec {
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
       === Set("graft_dot", "graft_scale_div", "graft_quantize",
         "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60",
-        "graft_bloom_agg", "graft_bloom_contains"))
+        "graft_bloom_agg", "graft_bloom_contains", "graft_bloom_sharded"))
   }
 
   test("SQL surface works after registration") {
