@@ -620,6 +620,100 @@ object TextQueries {
     WHERE bucket < CASE WHEN lang = 'en' THEN 2000 ELSE 6000 END"""),
     "Stratified sampling: deterministic hash buckets, per-stratum rates")
 
+  /** PII scrubbing — redact structured identifiers before training.
+    * The synthetic corpus carries no PII, so a deterministic slice is
+    * SEEDED first (doc_id%5 gains an email, doc_id%7 a phone number —
+    * reserved `.invalid` TLD, 555 exchange), then scrubbed; both
+    * engines rebuild the seeded text identically, so the oracle pins
+    * that every seeded identifier was found and replaced (counts +
+    * md5 of the scrubbed text — a scrubber that missed one, or
+    * mangled surrounding text, hash-fails). Row-local regexes both
+    * dialects parse identically; zero shuffles. */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val seeded = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.invalid now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" ok"))).otherwise(lit(""))).as("t"))
+      seeded.select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("scrub_md5"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.invalid now'
+          ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+          ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+    FROM s"""),
+    "PII scrub: seeded email/phone redaction with count + hash evidence")
+
+  /** Overlapping chunking — the RAG/context-window splitter: fixed
+    * K-token chunks advancing by stride = K − overlap, so consecutive
+    * chunks share `overlap` tokens. Chunk c covers tokens
+    * [c·stride, c·stride + K); emitted iff its start is in range, so
+    * every token lands in ≥ 1 chunk and boundaries are deterministic.
+    * Row-local explode of a per-doc index sequence — chunk COUNT
+    * multiplies rows, payload text does not travel (only first/last
+    * token evidence + sizes). */
+  val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val K = 50
+      val stride = 40 // overlap 10
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      d.select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+        // DIV, not `/`: Column./ is floating division and sequence()
+        // needs an integral bound
+        .withColumn("c", explode(sequence(lit(0),
+          expr(s"CAST((n - 1) DIV $stride AS INT)"))))
+        .select(col("doc_id"), col("c").cast("long").as("chunk_idx"),
+          (col("c") * stride).cast("long").as("start_tok"),
+          least(lit(K), col("n") - col("c") * stride).cast("long").as("n_tok"),
+          element_at(col("w"), col("c") * stride + 1).as("first_tok"),
+          element_at(col("w"),
+            least(col("c") * stride + K, col("n"))).as("last_tok"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w, len(w) AS n,
+        unnest(generate_series(0, (len(w)-1)//40)) AS c
+      FROM d)
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+      CAST(c*40 AS BIGINT) AS start_tok,
+      CAST(least(50, n - c*40) AS BIGINT) AS n_tok,
+      w[c*40 + 1] AS first_tok,
+      w[least(c*40 + 50, n)] AS last_tok
+    FROM c"""),
+    "Overlapping K-token chunking (stride = K - overlap), row-local")
+
   /** Benchmark decontamination — drop training documents that leak
     * eval-set content. The benchmark set (here: every 50th doc) is
     * shingled and BROADCAST — eval suites are tiny by nature, so the
@@ -904,6 +998,6 @@ object TextQueries {
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
-    qDecontaminate, qTextRepetition, qChunkPack, qBpePairs,
-    qDedupComponents, qDedupApply, qBloomPrefilter)
+    qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
+    qPiiScrub, qDedupComponents, qDedupApply, qBloomPrefilter)
 }
