@@ -361,7 +361,58 @@ object CoreQueries {
       GROUP BY 1, 2"""),
     "S5 partitioned parquet sink + pruned hive read-back roundtrip")
 
+  /** S-family: newline-delimited JSON scan with schema inference —
+    * the interchange format LLM training corpora actually ship in
+    * (one document object per line). The fixture exercises the parse
+    * surface: nested object, array field, missing keys → null,
+    * escaped quotes, unicode, negative/zero numerics, booleans.
+    * Projections CAST both sides so the query verifies scan + nested
+    * access, not either engine's inference taste. Binary-fraction
+    * scores (.5/.25/.125) make the cents rounding exact.
+    * Same LOCAL-MODE-ONLY fixture-path note as q_csv_scan; the write
+    * is idempotent (same bytes every invocation). */
+  val jsonlFixturePath = "/tmp/graft_jsonl_scan/data.jsonl"
+  private val jsonlFixture = Seq(
+    """{"id":1,"name":"alpha","score":10.5,"tags":["x","y"],"meta":{"src":"web","rank":3},"ok":true}""",
+    """{"id":2,"name":"comma, \"quoted\"","score":-2.25,"tags":[],"meta":{"src":"pdf","rank":1},"ok":false}""",
+    """{"id":3,"name":"unicode æøå","score":0.0,"tags":["z"],"meta":{"src":"web","rank":2},"ok":true}""",
+    """{"id":4,"name":null,"score":123.125,"tags":["a","b","c"],"meta":{"src":"scan","rank":7},"ok":false}""",
+    """{"id":5,"score":1.5,"meta":{"src":"web","rank":5}}""",
+    """{"id":6,"name":"last","score":-0.5,"tags":["q"],"meta":{"src":"api","rank":4},"ok":true}"""
+  ).mkString("", "\n", "\n")
+
+  val qJsonlScan = Q(
+    "q_jsonl_scan",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val p = java.nio.file.Paths.get(jsonlFixturePath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        jsonlFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.read.json(jsonlFixturePath)
+        .select(
+          col("id").cast("long").as("id"),
+          col("name").cast("string").as("name"),
+          round(col("score") * 100).cast("long").as("score_cents"),
+          size(col("tags")).cast("long").as("n_tags"),
+          element_at(col("tags"), 1).as("first_tag"),
+          col("meta.src").as("meta_src"),
+          col("meta.rank").cast("long").as("meta_rank"),
+          col("ok").cast("boolean").as("ok"))
+    },
+    Some(s"""SELECT CAST(id AS BIGINT) AS id,
+      CAST(name AS VARCHAR) AS name,
+      CAST(round(score*100) AS BIGINT) AS score_cents,
+      CAST(len(tags) AS BIGINT) AS n_tags,
+      tags[1] AS first_tag,
+      meta.src AS meta_src,
+      CAST(meta.rank AS BIGINT) AS meta_rank,
+      CAST(ok AS BOOLEAN) AS ok
+      FROM read_json('$jsonlFixturePath', format='newline_delimited')"""),
+    "S-family JSONL scan: nested objects, arrays, missing keys, inference")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
-    qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip)
+    qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip,
+    qJsonlScan)
 }

@@ -994,10 +994,86 @@ object TextQueries {
     JOIN hist h USING (fp)"""),
     "Incremental dedup: Bloom sketch prefilter + exact verify join")
 
+  /** Cross-document LINE-level dedup (the C4/RefinedWeb preprocessing
+    * step): every document keeps only the lines whose first global
+    * occurrence it owns — repeated boilerplate (footers, license
+    * notices, navigation chrome) is removed corpus-wide while unique
+    * prose survives. The synthetic corpus has no newlines, so shared
+    * boilerplate lines are SEEDED deterministically first (doc_id%4
+    * gains a footer line, doc_id%6 a notice line — docs%12 get both),
+    * then the dedup runs on the line-split text; the oracle rebuilds
+    * the seeding identically, so survivorship is fully pinned (count
+    * + md5 of each doc's kept text).
+    *
+    * Scale: first-occurrence is min(doc_id·1e6 + line_idx) per line —
+    * a map-side-combinable aggregate, NOT a per-line window. The
+    * heavy hitters in real corpora are exactly the boilerplate lines
+    * (one line, millions of owners); a window's row_number funnels
+    * each into a single partition, while the min partial-aggregates
+    * wherever the data sits (the Etl2 min(struct) lesson, DEVLOG r3).
+    * The packed-long encoding keeps the aggregate a primitive
+    * comparison; line_idx < 1e6 is asserted by construction (docs are
+    * orders of magnitude shorter). Reassembly groups by doc_id and
+    * ships only kept lines. */
+  val qLineDedup = Q(
+    "q_line_dedup",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val seeded = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nshared footer boilerplate all rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit("\nstandard legal notice applies to this document"))
+            .otherwise(lit(""))).as("t"))
+      val lines = seeded
+        .select(col("doc_id"), posexplode(split(col("t"), "\n")))
+        .select(col("doc_id"), col("pos").cast("long").as("line_idx"),
+          col("col").as("line"))
+      val enc = col("doc_id") * 1000000L + col("line_idx")
+      val first = lines.groupBy("line").agg(min(enc).as("first_enc"))
+      lines.join(first, Seq("line"))
+        .withColumn("kept", enc === col("first_enc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("kept"), lit(1))).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")), "\n")).as("kept_md5"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 4 = 0
+          THEN chr(10) || 'shared footer boilerplate all rights reserved'
+          ELSE '' END ||
+        CASE WHEN doc_id % 6 = 0
+          THEN chr(10) || 'standard legal notice applies to this document'
+          ELSE '' END AS t
+      FROM documents),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM s),
+    ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS li FROM ls),
+    lines AS (SELECT doc_id, CAST(li - 1 AS BIGINT) AS line_idx,
+      l[li] AS line FROM ix),
+    f AS (SELECT line, min(doc_id * 1000000 + line_idx) AS first_enc
+      FROM lines GROUP BY line),
+    m AS (SELECT doc_id, line_idx, lines.line,
+      (doc_id * 1000000 + line_idx = first_enc) AS kept
+      FROM lines JOIN f ON lines.line = f.line)
+    SELECT doc_id, COUNT(*) AS n_lines,
+      COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+      md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+        ORDER BY line_idx), '')) AS kept_md5
+    FROM m GROUP BY doc_id"""),
+    "C4-style cross-corpus line dedup: keep first global occurrence, reassemble")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
-    qPiiScrub, qDedupComponents, qDedupApply, qBloomPrefilter)
+    qPiiScrub, qLineDedup, qDedupComponents, qDedupApply, qBloomPrefilter)
 }
