@@ -541,8 +541,69 @@ object AnalyticsQueries {
         ORDER BY o_orderdate, o_orderkey) = 1"""),
     "Frame-boundary windows: first/last/nth_value over the full partition")
 
+  /** SCD Type-2 dimension history — the warehouse pattern a
+    * registration dim actually needs in production: each customer's
+    * order-status timeline is compressed to versioned rows
+    * (valid_from, valid_to, is_current), one row per maximal
+    * consecutive run of the same status. Gaps-and-islands via the
+    * standard change-flag + running-sum run id, then one aggregate
+    * per run and a lead() for the closing date.
+    *
+    * Scale: every step keys on o_custkey — Spark shuffles ONCE for
+    * the first window, and both the (custkey, run_id) aggregate and
+    * the lead window reuse that partitioning (HashPartitioning on a
+    * subset of the cluster keys satisfies the distribution), so the
+    * whole history build is a single-exchange plan at any customer
+    * cardinality. Unique o_orderkey makes the sort total, so the
+    * RANGE-vs-ROWS running-sum frame distinction is moot and both
+    * engines agree. */
+  val qScd2Orders = Q(
+    "q_scd2_orders",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("d"), col("o_orderkey"))
+      val o = load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_orderstatus").as("st"))
+      val runs = o
+        .withColumn("chg",
+          when(lag(col("st"), 1).over(w).isNull
+            || lag(col("st"), 1).over(w) =!= col("st"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(w))
+        .groupBy(col("o_custkey"), col("run_id"))
+        .agg(min(col("st")).as("o_orderstatus"),
+          min(col("d")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val wv = Window.partitionBy("o_custkey").orderBy("run_id")
+      runs.select(col("o_custkey"), col("run_id").as("version"),
+          col("o_orderstatus"), col("valid_from"),
+          lead(col("valid_from"), 1).over(wv).as("valid_to"),
+          lead(col("valid_from"), 1).over(wv).isNull.as("is_current"),
+          col("n_orders"))
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        o_orderstatus AS st FROM orders),
+    r AS (SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+        THEN 1 ELSE 0 END AS chg
+      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+    s AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        ROWS UNBOUNDED PRECEDING) AS run_id FROM r),
+    g AS (SELECT o_custkey, CAST(run_id AS BIGINT) AS version,
+        min(st) AS o_orderstatus, min(d) AS valid_from,
+        COUNT(*) AS n_orders
+      FROM s GROUP BY 1, 2)
+    SELECT o_custkey, version, o_orderstatus, valid_from,
+      lead(valid_from) OVER wv AS valid_to,
+      (lead(valid_from) OVER wv IS NULL) AS is_current,
+      n_orders
+    FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)"""),
+    "SCD2 dimension history: status runs → versioned valid_from/valid_to rows")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
-    qListagg, qGapfill, qWindowFirstLast)
+    qListagg, qGapfill, qWindowFirstLast, qScd2Orders)
 }

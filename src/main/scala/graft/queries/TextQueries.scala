@@ -994,6 +994,104 @@ object TextQueries {
     JOIN hist h USING (fp)"""),
     "Incremental dedup: Bloom sketch prefilter + exact verify join")
 
+  /** Source-mixture rebalancing — the training-mix step that follows
+    * curation: give every source the SAME token budget (tot div n_src)
+    * and downsample each source to its budget with a deterministic
+    * per-document hash draw (rate_bp = share of 10000 hash buckets
+    * admitted). Over-budget sources thin out; under-budget sources
+    * keep everything (rate capped at 10000). All arithmetic is
+    * integral — no double weights — so the admitted set is exactly
+    * reproducible across engines and re-runs (the property a training
+    * pipeline needs for resumable data loading).
+    *
+    * Scale: per-source token totals are one combinable aggregate to
+    * n_src rows; rates broadcast back; admission is a row-local hash
+    * filter. The corpus itself never shuffles. */
+  val qMixtureSample = Q(
+    "q_mixture_sample",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val tok = d.select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      val src = tok.groupBy("source").agg(sum(col("n_tok")).as("src_tok"))
+      val tot = src.agg(sum(col("src_tok")).as("tot_tok"),
+        count(lit(1)).as("n_src"))
+      val rates = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tok"),
+          least(lit(10000L),
+            expr("(10000 * (tot_tok DIV n_src)) DIV src_tok")).as("rate_bp"))
+      tok.join(broadcast(rates), Seq("source"))
+        .withColumn("bucket", sampleBucket(col("doc_id"), "mix:", 10000L))
+        .filter(col("bucket") < col("rate_bp"))
+        .select("doc_id", "source", "n_tok", "bucket", "rate_bp")
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS tot_tok, COUNT(*) AS n_src FROM s),
+    r AS (SELECT source, src_tok,
+      least(10000, (10000 * (tot_tok // n_src)) // src_tok) AS rate_bp
+      FROM s, tot),
+    h AS (SELECT t.doc_id, t.source, t.n_tok, r.rate_bp,
+      (CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        % 2147483647) % 10000 AS bucket
+      FROM t JOIN r USING (source))
+    SELECT doc_id, source, n_tok, bucket, rate_bp FROM h
+    WHERE bucket < rate_bp"""),
+    "Mixture sampling: equal per-source token budgets, integral hash admission")
+
+  /** Per-document TF-IDF top terms — the classic relevance weighting
+    * over the corpus: tf from a (doc, term) count, df from a term
+    * count over that, idf = ln(N/df). Scores are rounded to basis
+    * points BEFORE ranking: exact-tie score pairs (e.g. tf=2 against
+    * df² cases where tf·ln(N/df) coincides in real arithmetic) would
+    * otherwise rank on the last-ulp taste of each engine's libm; after
+    * rounding, ties break on the integer columns (tf, df, term) —
+    * fully deterministic.
+    *
+    * Scale: two combinable aggregates (doc,term) → (term) plus one
+    * term-keyed join — standard inverted-index shape; the corpus-size
+    * scalar broadcasts. Top-5 per doc is a row_number over the
+    * doc-keyed partition (high cardinality, no funnel). */
+  val qTfidfTerms = Q(
+    "q_tfidf_terms",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(lit(10000.0) * col("tf")
+            * log(col("n_docs").cast("double") / col("df")))
+            .cast("long").as("score_bp"))
+      val wr = Window.partitionBy("doc_id").orderBy(
+        col("score_bp").desc, col("tf").desc, col("df").asc, col("term").asc)
+      scored.withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score_bp", "rk")
+    },
+    Some("""WITH w AS (
+      SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (SELECT doc_id, tf.term, tf.tf, df.df,
+      CAST(round(10000.0 * tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df)) AS BIGINT) AS score_bp
+      FROM tf JOIN df USING (term), n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score_bp DESC, tf DESC, df ASC, term ASC) AS rk FROM sc)
+    SELECT doc_id, term, tf, df, score_bp, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5"""),
+    "TF-IDF top terms per document: round-then-rank, inverted-index shape")
+
   /** Cross-document LINE-level dedup (the C4/RefinedWeb preprocessing
     * step): every document keeps only the lines whose first global
     * occurrence it owns — repeated boilerplate (footers, license
@@ -1075,5 +1173,6 @@ object TextQueries {
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
-    qPiiScrub, qLineDedup, qDedupComponents, qDedupApply, qBloomPrefilter)
+    qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms,
+    qDedupComponents, qDedupApply, qBloomPrefilter)
 }
