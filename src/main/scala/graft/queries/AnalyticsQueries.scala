@@ -602,8 +602,76 @@ object AnalyticsQueries {
     FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)"""),
     "SCD2 dimension history: status runs → versioned valid_from/valid_to rows")
 
+  /** Z-order (Morton) interleave of two join/filter dimensions — the
+    * layout transform behind multi-dimensional data skipping: sorting
+    * by the interleaved value clusters rows so that BOTH x and y have
+    * bounded ranges within any contiguous slice, which is what makes
+    * parquet min/max stats prune 2-D predicates after a
+    * repartitionByRange(z) + sortWithinPartitions write (the write
+    * itself is effectful and exercised in scalatest; this query pins
+    * the curve math and the clustering property).
+    *
+    * The interleave is 16 bits per dimension, built as an UNROLLED
+    * constant-shift sum — 32 codegen-friendly integer terms, no
+    * higher-order lambdas (the DEVLOG r1 interpreted-fold lesson) —
+    * and mirrored term-for-term in generated SQL. Output: per
+    * z-range bucket (top 10 bits of the curve), row count and the
+    * x/y min/max envelope. Every row's zval feeds the aggregate, so
+    * a single bit-placement error anywhere hash-fails; the bounded
+    * per-bucket envelopes ARE the file-skipping evidence.
+    * Scale: one combinable aggregate on a 1024-ary key; the
+    * interleave is row-local. */
+  val qZorderCluster = Q(
+    "q_zorder_cluster",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      def z16(x: org.apache.spark.sql.Column,
+              y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (0 until 16).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+      // Min-max normalize each dimension to the full 16-bit domain
+      // first (integral arithmetic; the tiny extent row broadcasts):
+      // raw keys fill only ~11/7 bits at test SF, which would collapse
+      // the curve into one bucket — and real z-ordering normalizes so
+      // the curve fills the space at ANY scale factor.
+      val raw = load(spark, dir, "lineitem")
+        .select(col("l_partkey").as("px"), col("l_suppkey").as("py"))
+      val ext = raw.agg(min("px").as("px0"), max("px").as("px1"),
+        min("py").as("py0"), max("py").as("py1"))
+      val l = raw.crossJoin(broadcast(ext))
+        .select(
+          expr("((px - px0) * 65535) DIV greatest(px1 - px0, 1)").as("x"),
+          expr("((py - py0) * 65535) DIV greatest(py1 - py0, 1)").as("y"))
+      l.select(shiftright(z16(col("x"), col("y")), 22).as("z_bucket"),
+          col("x"), col("y"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    },
+    Some {
+      val terms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH ext AS (
+      SELECT min(l_partkey) AS px0, max(l_partkey) AS px1,
+        min(l_suppkey) AS py0, max(l_suppkey) AS py1 FROM lineitem),
+    d AS (
+      SELECT ((l_partkey - px0) * 65535) // greatest(px1 - px0, 1) AS x,
+        ((l_suppkey - py0) * 65535) // greatest(py1 - py0, 1) AS y
+      FROM lineitem, ext),
+    z AS (SELECT ($terms) >> 22 AS z_bucket, x, y FROM d)
+    SELECT z_bucket, COUNT(*) AS n,
+      min(x) AS min_x, max(x) AS max_x,
+      min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY z_bucket"""
+    },
+    "Z-order curve clustering: unrolled 2×16-bit interleave + bucket envelopes")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
-    qListagg, qGapfill, qWindowFirstLast, qScd2Orders)
+    qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qZorderCluster)
 }
