@@ -625,12 +625,7 @@ object AnalyticsQueries {
     "q_zorder_cluster",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      def z16(x: org.apache.spark.sql.Column,
-              y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (0 until 16).map { i =>
-          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-            shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        }.reduce(_ + _)
+      import graft.ops.Layout.zorder16
       // Min-max normalize each dimension to the full 16-bit domain
       // first (integral arithmetic; the tiny extent row broadcasts):
       // raw keys fill only ~11/7 bits at test SF, which would collapse
@@ -644,7 +639,7 @@ object AnalyticsQueries {
         .select(
           expr("((px - px0) * 65535) DIV greatest(px1 - px0, 1)").as("x"),
           expr("((py - py0) * 65535) DIV greatest(py1 - py0, 1)").as("y"))
-      l.select(shiftright(z16(col("x"), col("y")), 22).as("z_bucket"),
+      l.select(shiftright(zorder16(col("x"), col("y")), 22).as("z_bucket"),
           col("x"), col("y"))
         .groupBy("z_bucket")
         .agg(count(lit(1)).as("n"),

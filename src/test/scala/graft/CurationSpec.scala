@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 curation/warehouse additions: z-order
+  * layout, SCD2 history, line-level dedup, mixture sampling, TF-IDF.
+  * The oracle pins cross-engine equality; these specs pin the
+  * PROPERTIES each operator promises (disjoint file ranges, contiguous
+  * versions, survivorship counts, budget caps, rank bounds). */
+class CurationSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("Layout.zorder16 matches a bit-interleave reference on random pairs") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L; var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(256)(
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+    import spark.implicits._
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder16(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)) -> r.getLong(2))).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y), s"zorder16($x,$y)")
+    }
+  }
+
+  test("Layout.clusteredWrite produces files with disjoint z ranges") {
+    val out = "/tmp/graft_zorder_write"
+    val df = Tables.load(spark, dir, "lineitem")
+      .select((col("l_partkey") % 65536L).as("x"),
+        (col("l_suppkey") % 65536L).as("y"))
+    Layout.clusteredWrite(df, Layout.zorder16(col("x"), col("y")), 8, out)
+    val back = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .withColumn("z", Layout.zorder16(col("x"), col("y")))
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, "file z ranges overlap — range partitioning lost")
+      case _ =>
+    }
+    // the point of the layout: each file's envelope is a bounded box,
+    // not the full domain, in BOTH dimensions
+    val env = back.groupBy("f").agg(
+      (max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .agg(min("dx"), min("dy")).collect()(0)
+    assert(env.getLong(0) < 65536L / 2 || env.getLong(1) < 65536L / 2,
+      "no file has a bounded envelope in either dimension")
+  }
+
+  test("q_scd2_orders: contiguous versions, exactly one current row per customer") {
+    val out = q("q_scd2_orders").cache()
+    try {
+      val perCust = out.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        min("version").as("vmin"), max("version").as("vmax"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"))
+      assert(perCust.filter(col("vmin") =!= 1L || col("vmax") =!= col("n")
+        || col("n_cur") =!= 1L).count() === 0L)
+      // runs really are maximal: consecutive versions never repeat a status
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("version")
+      val rep = out.withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev") === col("o_orderstatus"))
+      assert(rep.count() === 0L, "adjacent versions with identical status")
+      // validity intervals chain: valid_to == next version's valid_from
+      val chain = out.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+        .filter(!(col("valid_to") <=> col("nxt")))
+      assert(chain.count() === 0L, "valid_to does not chain to next valid_from")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_line_dedup: exactly one global survivor per seeded boilerplate line") {
+    val out = q("q_line_dedup").cache()
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      val n4 = docs.filter(col("doc_id") % 4 === 0).count()
+      val n6 = docs.filter(col("doc_id") % 6 === 0).count()
+      // fixture invariant the seeding depends on: original texts are
+      // globally unique, so ONLY the two seeded lines ever collide
+      assert(docs.select("text").distinct().count() === docs.count(),
+        "fixture texts no longer unique — seeded-survivor arithmetic invalid")
+      val agg = out.agg(sum("n_lines"), sum("n_kept")).collect()(0)
+      assert(agg.getLong(0) - agg.getLong(1) === (n4 - 1) + (n6 - 1),
+        "dropped-line count != duplicate boilerplate occurrences")
+      // docs carrying no boilerplate keep everything
+      val clean = out.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 6 =!= 0)
+        .filter(col("n_kept") =!= col("n_lines"))
+      assert(clean.count() === 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_mixture_sample: rates cap at 10000 and admission is below-rate") {
+    val out = q("q_mixture_sample").cache()
+    try {
+      assert(out.filter(col("bucket") >= col("rate_bp")).count() === 0L)
+      assert(out.filter(col("rate_bp") > 10000L).count() === 0L)
+      // at least one source must be thinned (rate < 10000), else the
+      // fixture no longer exercises the rebalancing at all
+      assert(out.filter(col("rate_bp") < 10000L).count() > 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_tfidf_terms: dense rank 1..5 per doc; corpus-wide terms score zero") {
+    val out = q("q_tfidf_terms").cache()
+    try {
+      val perDoc = out.groupBy("doc_id").agg(
+        count(lit(1)).as("n"), min("rk").as("rmin"), max("rk").as("rmax"))
+      assert(perDoc.filter(col("rmin") =!= 1L || col("rmax") =!= col("n")
+        || col("n") > 5L).count() === 0L)
+      val nDocs = Tables.load(spark, dir, "documents").count()
+      assert(out.filter(col("df") === nDocs && col("score_bp") =!= 0L)
+        .count() === 0L, "idf of an every-doc term must be 0")
+    } finally { out.unpersist(); () }
+  }
+}

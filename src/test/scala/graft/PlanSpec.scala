@@ -230,4 +230,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("percentile("), s"exact Percentile back in plan:\n$plan")
     assert(!plan.contains("Expand"), s"countDistinct Expand back in plan:\n$plan")
   }
+
+  test("q_scd2_orders is a single-exchange plan (custkey partitioning reused)") {
+    // both windows, the run aggregate, and the lead window all key on
+    // o_custkey (or a superset) — the whole SCD2 history build must
+    // stay one shuffle at any customer cardinality
+    val plan = planString("q_scd2_orders")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("q_line_dedup first-occurrence is a min-aggregate, not a line window") {
+    // boilerplate lines are the heavy hitters: a row_number window
+    // funnels each line's occurrences into one partition, while
+    // min(enc) partial-aggregates map-side (the Etl2 min(struct) lesson)
+    assert(!planString("q_line_dedup").contains("Window"))
+  }
+
+  test("q_mixture_sample broadcasts rates; corpus never sort-merge joins") {
+    val plan = planString("q_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_zorder_cluster interleave stays codegen (no lambda, one agg exchange)") {
+    val plan = planString("q_zorder_cluster")
+    // the unrolled shift-sum must not regress to an interpreted
+    // higher-order transform, and the only hash exchange is the
+    // 1024-ary bucket aggregate
+    assert(!plan.contains("ArrayTransform") && !plan.contains("transform("))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
 }
