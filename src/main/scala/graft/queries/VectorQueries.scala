@@ -276,6 +276,86 @@ object VectorQueries {
     },
     "Int8 embedding quantization: row-local scale + clamp, integer evidence")
 
+  /** Product-quantization encoding — the compression that makes
+    * billion-vector ANN serviceable: split each (normalized) vector
+    * into M=4 subspaces of 16 dims, train an independent k=4 Lloyd
+    * codebook per subspace (same integer-exact machinery as
+    * q_kmeans_lloyd, so the oracle mirrors it exactly), and encode
+    * every vector as its M nearest-centroid ids packed into one small
+    * code. Here the code is M·2 bits; production PQ uses k=256 (one
+    * byte per subspace, 64 dims → 4 bytes instead of 256) — the plan
+    * shape is identical, only the literal count grows.
+    *
+    * Scale: per subspace, training is the Lloyd shape (row-local
+    * assignment against centroid literals, ONE combinable integer
+    * update shuffle, k rows to the driver); encoding is entirely
+    * row-local. The corpus is persisted once and never shuffles. */
+  val qAnnPqEncode = Q(
+    "q_ann_pq_encode",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val M = 4; val Sub = Dims / M
+      val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"),
+          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+        .select(col("vec_id") +: (0 until M).map(m =>
+          slice(col("vq"), m * Sub + 1, Sub).as(s"vq_$m")): _*)
+        // seeds + updates + final assignment of each subspace re-read
+        // this lineage (~9 actions total)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cur = base
+      (0 until M).foreach { m =>
+        cur = graft.ops.KMeans.lloydAssign(cur, s"vq_$m", "vec_id", 4, Sub, 2, s"code_$m")
+      }
+      cur.select(col("vec_id") +:
+        (0 until M).map(m => col(s"code_$m").cast("int").as(s"code_$m")) :+
+        (0 until M).map(m => col(s"code_$m") * lit(1 << (2 * m)))
+          .reduce(_ + _).cast("int").as("pq_code"): _*)
+    },
+    Some {
+      val M = 4; val Sub = Dims / M
+      def sub(m: Int): String = {
+        val lo = m * Sub + 1; val hi = (m + 1) * Sub
+        val dot = (1 to Sub).map(i => s"vq[$i]*c[$i]").mkString(" + ")
+        val sums = (1 to Sub).map(i => s"sum(vq[$i])").mkString(", ")
+        s"""q_$m AS (SELECT vec_id,
+      [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series($lo, $hi)] AS vq
+      FROM n),
+    seeds_$m AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM q_$m QUALIFY j < 4),
+    c0_$m AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds_$m),
+    c0h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0_$m),
+    a1_$m AS (SELECT vec_id, vq, j AS cluster FROM (
+        SELECT q.vec_id, q.vq, t.j, ($dot) - t.hn AS m
+        FROM q_$m q CROSS JOIN c0h_$m t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
+    u_$m AS (SELECT cluster AS j, COUNT(*) AS n, [$sums] AS s
+      FROM a1_$m GROUP BY cluster),
+    c1_$m AS (SELECT cl.j,
+        CASE WHEN u.j IS NULL THEN c0x.c
+             ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $Sub)]
+        END AS c
+      FROM (SELECT unnest(generate_series(0, 3)) AS j) cl
+      LEFT JOIN u_$m u ON u.j = cl.j
+      JOIN c0_$m c0x ON c0x.j = cl.j),
+    c1h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1_$m),
+    a2_$m AS (SELECT vec_id, j AS code FROM (
+        SELECT q.vec_id, t.j, ($dot) - t.hn AS m
+        FROM q_$m q CROSS JOIN c1h_$m t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)"""
+      }
+      val codeCols = (0 until M)
+        .map(m => s"CAST(a2_$m.code AS INTEGER) AS code_$m").mkString(", ")
+      val packed = (0 until M).map(m => s"a2_$m.code * ${1 << (2 * m)}").mkString(" + ")
+      val joins = (1 until M).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
+      s"""WITH $sqlNormalizedCte,
+    ${(0 until M).map(sub).mkString(",\n    ")}
+    SELECT a2_0.vec_id, $codeCols,
+      CAST($packed AS INTEGER) AS pq_code
+    FROM a2_0 $joins"""
+    },
+    "PQ encoding: per-subspace Lloyd codebooks, row-local encode, packed codes")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
-    qAnnIvfTopk, qKmeansLloyd, qVecQuantize)
+    qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode)
 }
