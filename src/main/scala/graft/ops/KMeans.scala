@@ -95,17 +95,26 @@ object KMeans {
     prev.map(p => fresh.getOrElse(p.j, p))
   }
 
+  /** Training only: seed → (assign → update) × (iters − 1); returns
+    * the final centroids (what PQ needs to build ADC tables without
+    * re-deriving them from the assignment output). */
+  def lloydTrain(df: DataFrame, vqCol: String, idCol: String, k: Int,
+      dims: Int, iters: Int): Seq[Centroid] = {
+    var cents = seedCentroids(df, vqCol, idCol, k)
+    var i = 0
+    while (i < iters - 1) {
+      cents = updateCentroids(assign(df, vqCol, cents, "__a"), vqCol, "__a", dims, cents)
+      i += 1
+    }
+    cents
+  }
+
   /** Full training run: seed → (assign → update) × iters → final
     * assignment appended as `out`. Input must already carry the
     * quantized vector column (see [[quantizeUnrolled]]). */
   def lloydAssign(df: DataFrame, vqCol: String, idCol: String, k: Int,
       dims: Int, iters: Int, out: String): DataFrame = {
-    var cents = seedCentroids(df, vqCol, idCol, k)
-    var i = 0
-    while (i < iters - 1) {
-      cents = updateCentroids(assign(df, vqCol, cents, out), vqCol, out, dims, cents)
-      i += 1
-    }
+    val cents = lloydTrain(df, vqCol, idCol, k, dims, iters)
     assign(df, vqCol, cents, out)
   }
 }

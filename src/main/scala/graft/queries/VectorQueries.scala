@@ -276,6 +276,45 @@ object VectorQueries {
     },
     "Int8 embedding quantization: row-local scale + clamp, integer evidence")
 
+  /** PQ geometry: M subspaces of Dims/M dims, k=4 codewords each. */
+  private val PqM = 4
+  private val PqSub = Dims / PqM
+
+  /** One subspace's Lloyd training as DuckDB CTEs (mirrors
+    * ops.KMeans seed/assign/update exactly — the same machinery the
+    * q_kmeans_lloyd oracle already proves): q_m quantized subvectors,
+    * seeds → c0 → one update (u, c1) → final assignment a2_m. */
+  private def sqlPqSub(m: Int): String = {
+    val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+    val dot = (1 to PqSub).map(i => s"vq[$i]*c[$i]").mkString(" + ")
+    val sums = (1 to PqSub).map(i => s"sum(vq[$i])").mkString(", ")
+    s"""q_$m AS (SELECT vec_id,
+      [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series($lo, $hi)] AS vq
+      FROM n),
+    seeds_$m AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM q_$m QUALIFY j < 4),
+    c0_$m AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds_$m),
+    c0h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0_$m),
+    a1_$m AS (SELECT vec_id, vq, j AS cluster FROM (
+        SELECT q.vec_id, q.vq, t.j, ($dot) - t.hn AS m
+        FROM q_$m q CROSS JOIN c0h_$m t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
+    u_$m AS (SELECT cluster AS j, COUNT(*) AS n, [$sums] AS s
+      FROM a1_$m GROUP BY cluster),
+    c1_$m AS (SELECT cl.j,
+        CASE WHEN u.j IS NULL THEN c0x.c
+             ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $PqSub)]
+        END AS c
+      FROM (SELECT unnest(generate_series(0, 3)) AS j) cl
+      LEFT JOIN u_$m u ON u.j = cl.j
+      JOIN c0_$m c0x ON c0x.j = cl.j),
+    c1h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1_$m),
+    a2_$m AS (SELECT vec_id, j AS code FROM (
+        SELECT q.vec_id, t.j, ($dot) - t.hn AS m
+        FROM q_$m q CROSS JOIN c1h_$m t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)"""
+  }
+
   /** Product-quantization encoding — the compression that makes
     * billion-vector ANN serviceable: split each (normalized) vector
     * into M=4 subspaces of 16 dims, train an independent k=4 Lloyd
@@ -313,49 +352,102 @@ object VectorQueries {
           .reduce(_ + _).cast("int").as("pq_code"): _*)
     },
     Some {
-      val M = 4; val Sub = Dims / M
-      def sub(m: Int): String = {
-        val lo = m * Sub + 1; val hi = (m + 1) * Sub
-        val dot = (1 to Sub).map(i => s"vq[$i]*c[$i]").mkString(" + ")
-        val sums = (1 to Sub).map(i => s"sum(vq[$i])").mkString(", ")
-        s"""q_$m AS (SELECT vec_id,
-      [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series($lo, $hi)] AS vq
-      FROM n),
-    seeds_$m AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      FROM q_$m QUALIFY j < 4),
-    c0_$m AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds_$m),
-    c0h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0_$m),
-    a1_$m AS (SELECT vec_id, vq, j AS cluster FROM (
-        SELECT q.vec_id, q.vq, t.j, ($dot) - t.hn AS m
-        FROM q_$m q CROSS JOIN c0h_$m t)
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
-    u_$m AS (SELECT cluster AS j, COUNT(*) AS n, [$sums] AS s
-      FROM a1_$m GROUP BY cluster),
-    c1_$m AS (SELECT cl.j,
-        CASE WHEN u.j IS NULL THEN c0x.c
-             ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $Sub)]
-        END AS c
-      FROM (SELECT unnest(generate_series(0, 3)) AS j) cl
-      LEFT JOIN u_$m u ON u.j = cl.j
-      JOIN c0_$m c0x ON c0x.j = cl.j),
-    c1h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1_$m),
-    a2_$m AS (SELECT vec_id, j AS code FROM (
-        SELECT q.vec_id, t.j, ($dot) - t.hn AS m
-        FROM q_$m q CROSS JOIN c1h_$m t)
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)"""
-      }
-      val codeCols = (0 until M)
+      val codeCols = (0 until PqM)
         .map(m => s"CAST(a2_$m.code AS INTEGER) AS code_$m").mkString(", ")
-      val packed = (0 until M).map(m => s"a2_$m.code * ${1 << (2 * m)}").mkString(" + ")
-      val joins = (1 until M).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
+      val packed = (0 until PqM).map(m => s"a2_$m.code * ${1 << (2 * m)}").mkString(" + ")
+      val joins = (1 until PqM).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
       s"""WITH $sqlNormalizedCte,
-    ${(0 until M).map(sub).mkString(",\n    ")}
+    ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")}
     SELECT a2_0.vec_id, $codeCols,
       CAST($packed AS INTEGER) AS pq_code
     FROM a2_0 $joins"""
     },
     "PQ encoding: per-subspace Lloyd codebooks, row-local encode, packed codes")
 
+  /** PQ asymmetric-distance (ADC) search — the query path that makes
+    * the codes useful: each query precomputes ONE M×k lookup table
+    * (query-subvector · codeword, exact doubles), then every corpus
+    * vector is scored by M table lookups on its 2-bit codes — the
+    * full vectors never participate in the scan. Top-10 per query by
+    * (sim desc, id asc); vectors sharing a code tie exactly and break
+    * on id, so the ranking is deterministic in both engines.
+    *
+    * Scale: this is the shape that serves a billion vectors — the
+    * corpus side carries only vec_id + M small codes (bytes, not
+    * 256-byte floats), the per-query table is built once and
+    * broadcast with the query set, and scoring is M integer-indexed
+    * branches in codegen. Training + encoding reuse the PQ
+    * machinery; the scan cost is O(corpus × M), not O(corpus × Dims). */
+  val qAnnPqAdc = Q(
+    "q_ann_pq_adc",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"), col("vn"),
+          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+        .select(col("vec_id") +: col("vn") +: (0 until PqM).map(m =>
+          slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = (0 until PqM).map(m =>
+        graft.ops.KMeans.lloydTrain(base, s"vq_$m", "vec_id", 4, PqSub, 2))
+      var coded = base
+      (0 until PqM).foreach { m =>
+        coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
+      }
+      val corpus = coded.select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"code_$m")): _*)
+      // per-query ADC tables: d_m_j = q-subvector · codeword j of
+      // subspace m, computed ONCE per query (exact vn doubles,
+      // left-assoc i order — bit-identical to the oracle's t_m CTE)
+      val tabCols = for { m <- 0 until PqM; j <- 0 until 4 } yield {
+        val c = cents(m)(j).c
+        (1 to PqSub).map(i => element_at(col("vn"), m * PqSub + i) * lit(c(i - 1)))
+          .reduceLeft(_ + _).as(s"d_${m}_$j")
+      }
+      val qt = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id") +: tabCols: _*)
+      val sim = (0 until PqM).map { m =>
+        (1 until 4).foldLeft(
+          when(col(s"code_$m") === 0, col(s"d_${m}_0"))) { (acc, j) =>
+          acc.when(col(s"code_$m") === j, col(s"d_${m}_$j"))
+        }
+      }.reduceLeft(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      corpus.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    Some {
+      def qdot(m: Int): String =
+        (1 to PqSub).map(i => s"vn[${m * PqSub + i}]*c[$i]").mkString(" + ")
+      val codeSel = (0 until PqM).map(m => s"a2_$m.code AS code_$m").mkString(", ")
+      val codeJoins = (1 until PqM).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
+      val tCtes = (0 until PqM).map(m =>
+        s"t_$m AS (SELECT q_id, j, (${qdot(m)}) AS d FROM qs CROSS JOIN c1_$m)")
+        .mkString(",\n    ")
+      val simSum = (0 until PqM).map(m => s"t_$m.d").mkString(" + ")
+      val tJoins = (0 until PqM).map { m =>
+        val qcond = if (m == 0) "" else s" AND t_$m.q_id = t_0.q_id"
+        s"JOIN t_$m ON t_$m.j = codes.code_$m$qcond"
+      }.mkString(" ")
+      s"""WITH $sqlNormalizedCte,
+    ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")},
+    qs AS (SELECT vec_id AS q_id, vn FROM n WHERE vec_id % 50 = 0),
+    $tCtes,
+    codes AS (SELECT a2_0.vec_id, $codeSel FROM a2_0 $codeJoins),
+    adc AS (SELECT t_0.q_id, codes.vec_id, $simSum AS sim
+      FROM codes $tJoins
+      WHERE codes.vec_id != t_0.q_id)
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
+      SELECT q_id, vec_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM adc) WHERE rank <= 10"""
+    },
+    "PQ ADC search: per-query lookup tables over 2-bit codes, top-10")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
-    qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode)
+    qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc)
 }
