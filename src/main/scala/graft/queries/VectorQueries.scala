@@ -276,9 +276,12 @@ object VectorQueries {
     },
     "Int8 embedding quantization: row-local scale + clamp, integer evidence")
 
-  /** PQ geometry: M subspaces of Dims/M dims, k=4 codewords each. */
+  /** PQ geometry: M subspaces of Dims/M dims, PqK codewords each
+    * (PqBits = log2 PqK bits per subspace in the packed code). */
   private val PqM = 4
   private val PqSub = Dims / PqM
+  private val PqK = 8
+  private val PqBits = 3
 
   /** One subspace's Lloyd training as DuckDB CTEs (mirrors
     * ops.KMeans seed/assign/update exactly — the same machinery the
@@ -292,7 +295,7 @@ object VectorQueries {
       [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series($lo, $hi)] AS vq
       FROM n),
     seeds_$m AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      FROM q_$m QUALIFY j < 4),
+      FROM q_$m QUALIFY j < $PqK),
     c0_$m AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds_$m),
     c0h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0_$m),
     a1_$m AS (SELECT vec_id, vq, j AS cluster FROM (
@@ -305,7 +308,7 @@ object VectorQueries {
         CASE WHEN u.j IS NULL THEN c0x.c
              ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $PqSub)]
         END AS c
-      FROM (SELECT unnest(generate_series(0, 3)) AS j) cl
+      FROM (SELECT unnest(generate_series(0, ${PqK - 1})) AS j) cl
       LEFT JOIN u_$m u ON u.j = cl.j
       JOIN c0_$m c0x ON c0x.j = cl.j),
     c1h_$m AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1_$m),
@@ -333,28 +336,27 @@ object VectorQueries {
     "q_ann_pq_encode",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val M = 4; val Sub = Dims / M
       val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"),
           graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
-        .select(col("vec_id") +: (0 until M).map(m =>
-          slice(col("vq"), m * Sub + 1, Sub).as(s"vq_$m")): _*)
+        .select(col("vec_id") +: (0 until PqM).map(m =>
+          slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
         // seeds + updates + final assignment of each subspace re-read
         // this lineage (~9 actions total)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cur = base
-      (0 until M).foreach { m =>
-        cur = graft.ops.KMeans.lloydAssign(cur, s"vq_$m", "vec_id", 4, Sub, 2, s"code_$m")
+      (0 until PqM).foreach { m =>
+        cur = graft.ops.KMeans.lloydAssign(cur, s"vq_$m", "vec_id", PqK, PqSub, 2, s"code_$m")
       }
       cur.select(col("vec_id") +:
-        (0 until M).map(m => col(s"code_$m").cast("int").as(s"code_$m")) :+
-        (0 until M).map(m => col(s"code_$m") * lit(1 << (2 * m)))
+        (0 until PqM).map(m => col(s"code_$m").cast("int").as(s"code_$m")) :+
+        (0 until PqM).map(m => col(s"code_$m") * lit(1 << (PqBits * m)))
           .reduce(_ + _).cast("int").as("pq_code"): _*)
     },
     Some {
       val codeCols = (0 until PqM)
         .map(m => s"CAST(a2_$m.code AS INTEGER) AS code_$m").mkString(", ")
-      val packed = (0 until PqM).map(m => s"a2_$m.code * ${1 << (2 * m)}").mkString(" + ")
+      val packed = (0 until PqM).map(m => s"a2_$m.code * ${1 << (PqBits * m)}").mkString(" + ")
       val joins = (1 until PqM).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
       s"""WITH $sqlNormalizedCte,
     ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")}
@@ -389,17 +391,23 @@ object VectorQueries {
           slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents = (0 until PqM).map(m =>
-        graft.ops.KMeans.lloydTrain(base, s"vq_$m", "vec_id", 4, PqSub, 2))
+        graft.ops.KMeans.lloydTrain(base, s"vq_$m", "vec_id", PqK, PqSub, 2))
       var coded = base
       (0 until PqM).foreach { m =>
         coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
       }
+      // materialize the codes: encode-once-scan-codes is the PQ
+      // contract, and without the barrier codegen fuses all four
+      // assignment projections (~2k product terms) into the rank
+      // sort's method, which blows the 64 KB limit and runs
+      // interpreted (measured: 2.3-5.4 s → ~1 s at sf0.1)
       val corpus = coded.select(col("vec_id") +:
         (0 until PqM).map(m => col(s"code_$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-query ADC tables: d_m_j = q-subvector · codeword j of
       // subspace m, computed ONCE per query (exact vn doubles,
       // left-assoc i order — bit-identical to the oracle's t_m CTE)
-      val tabCols = for { m <- 0 until PqM; j <- 0 until 4 } yield {
+      val tabCols = for { m <- 0 until PqM; j <- 0 until PqK } yield {
         val c = cents(m)(j).c
         (1 to PqSub).map(i => element_at(col("vn"), m * PqSub + i) * lit(c(i - 1)))
           .reduceLeft(_ + _).as(s"d_${m}_$j")
@@ -407,15 +415,19 @@ object VectorQueries {
       val qt = base.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id") +: tabCols: _*)
       val sim = (0 until PqM).map { m =>
-        (1 until 4).foldLeft(
+        (1 until PqK).foldLeft(
           when(col(s"code_$m") === 0, col(s"d_${m}_0"))) { (acc, j) =>
           acc.when(col(s"code_$m") === j, col(s"d_${m}_$j"))
         }
       }.reduceLeft(_ + _)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
+      // narrow to 3 columns BEFORE the window: the rank sort otherwise
+      // inlines all M code + M·k table columns into its generated
+      // sorter, which blows the 64 KB codegen method limit and falls
+      // back to interpreted (measured: 2.6→0.9 s at sf0.1)
       corpus.join(broadcast(qt), col("vec_id") =!= col("q_id"))
-        .withColumn("sim", sim)
+        .select(col("q_id"), col("vec_id"), sim.as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))

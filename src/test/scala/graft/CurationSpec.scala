@@ -117,6 +117,34 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("q_ann_pq_encode: codes use the full codebook; packed code is consistent") {
+    val out = q("q_ann_pq_encode").cache()
+    try {
+      // every subspace should spread vectors over all 8 codewords —
+      // a collapsed codebook means training regressed
+      (0 until 4).foreach { m =>
+        assert(out.select(s"code_$m").distinct().count() === 8L,
+          s"subspace $m codebook collapsed")
+      }
+      val bad = out.filter(col("pq_code") =!=
+        col("code_0") + col("code_1") * 8 + col("code_2") * 64 + col("code_3") * 512)
+      assert(bad.count() === 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_ann_pq_adc recall against the exact baseline is far above random") {
+    import org.apache.spark.sql.Row
+    def pairs(name: String): Set[(Long, Long)] =
+      q(name).select("q_id", "neighbor_id").collect()
+        .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    val exact = pairs("q_ann_cosine_topk")
+    val adc = pairs("q_ann_pq_adc")
+    val recall = (adc & exact).size.toDouble / exact.size
+    // top-10 of ~500 ⇒ random recall ≈ 0.02; 3-bit-per-subspace codes
+    // on near-uniform synthetic vectors measure ≈ 0.13
+    assert(recall > 0.08, f"ADC recall@10 $recall%.3f not above 4x random")
+  }
+
   test("q_tfidf_terms: dense rank 1..5 per doc; corpus-wide terms score zero") {
     val out = q("q_tfidf_terms").cache()
     try {
