@@ -557,33 +557,39 @@ object AnalyticsQueries {
     * cardinality. Unique o_orderkey makes the sort total, so the
     * RANGE-vs-ROWS running-sum frame distinction is moot and both
     * engines agree. */
-  val qScd2Orders = Q(
-    "q_scd2_orders",
-    (spark, dir) => {
-      Tables.ensureConf(spark)
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("d"), col("o_orderkey"))
-      val o = load(spark, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("d"),
-          col("o_orderstatus").as("st"))
-      val runs = o
-        .withColumn("chg",
-          when(lag(col("st"), 1).over(w).isNull
-            || lag(col("st"), 1).over(w) =!= col("st"), 1L).otherwise(0L))
-        .withColumn("run_id", sum(col("chg")).over(w))
-        .groupBy(col("o_custkey"), col("run_id"))
-        .agg(min(col("st")).as("o_orderstatus"),
-          min(col("d")).as("valid_from"),
-          count(lit(1)).as("n_orders"))
-      val wv = Window.partitionBy("o_custkey").orderBy("run_id")
-      runs.select(col("o_custkey"), col("run_id").as("version"),
-          col("o_orderstatus"), col("valid_from"),
-          lead(col("valid_from"), 1).over(wv).as("valid_to"),
-          lead(col("valid_from"), 1).over(wv).isNull.as("is_current"),
-          col("n_orders"))
-    },
-    Some("""WITH o AS (
+  /** The SCD2 history build over a (o_custkey, o_orderkey, d, st)
+    * projection — shared by the full rebuild (q_scd2_orders) and the
+    * incremental merge (q_scd2_merge). Per-customer-local by
+    * construction: a customer's versions depend only on that
+    * customer's rows, which is exactly what makes incremental
+    * maintenance sound. */
+  private def scd2History(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("d"), col("o_orderkey"))
+    val runs = o
+      .withColumn("chg",
+        when(lag(col("st"), 1).over(w).isNull
+          || lag(col("st"), 1).over(w) =!= col("st"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(w))
+      .groupBy(col("o_custkey"), col("run_id"))
+      .agg(min(col("st")).as("o_orderstatus"),
+        min(col("d")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val wv = Window.partitionBy("o_custkey").orderBy("run_id")
+    runs.select(col("o_custkey"), col("run_id").as("version"),
+      col("o_orderstatus"), col("valid_from"),
+      lead(col("valid_from"), 1).over(wv).as("valid_to"),
+      lead(col("valid_from"), 1).over(wv).isNull.as("is_current"),
+      col("n_orders"))
+  }
+
+  private def ordersProjected(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderstatus").as("st"))
+
+  private val scd2Sql = """WITH o AS (
       SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
         o_orderstatus AS st FROM orders),
     r AS (SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
@@ -599,8 +605,48 @@ object AnalyticsQueries {
       lead(valid_from) OVER wv AS valid_to,
       (lead(valid_from) OVER wv IS NULL) AS is_current,
       n_orders
-    FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)"""),
+    FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)"""
+
+  val qScd2Orders = Q(
+    "q_scd2_orders",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      scd2History(ordersProjected(spark, dir))
+    },
+    Some(scd2Sql),
     "SCD2 dimension history: status runs → versioned valid_from/valid_to rows")
+
+  /** Incremental SCD2 maintenance — the production MERGE shape: a new
+    * batch of orders arrives (d ≥ cutoff); only the customers present
+    * in the batch have their history rebuilt (from their full order
+    * set), everyone else's versioned rows pass through untouched.
+    * The ORACLE IS THE FULL REBUILD (q_scd2_orders' SQL verbatim), so
+    * the hash compare proves incremental == from-scratch — the
+    * invariant that makes incremental dimension maintenance safe to
+    * ship. Soundness rests on SCD2 being per-customer-local
+    * (scd2History's contract).
+    *
+    * Scale: the update batch's key set is bounded by batch size, so
+    * both the anti join (untouched history) and the semi join
+    * (affected customers' orders) broadcast it; rebuild cost is
+    * proportional to the AFFECTED slice, not the dimension —
+    * 100 TB of history is maintained by touching the day's customers. */
+  val qScd2Merge = Q(
+    "q_scd2_merge",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val cutoff = "2001-06-01"
+      val o = ordersProjected(spark, dir)
+      val hist = scd2History(o.filter(col("d") < lit(cutoff)))
+      val updates = o.filter(col("d") >= lit(cutoff))
+      val affected = updates.select("o_custkey").distinct()
+      val untouched = hist.join(broadcast(affected), Seq("o_custkey"), "left_anti")
+      val rebuilt = scd2History(
+        o.join(broadcast(affected), Seq("o_custkey"), "left_semi"))
+      untouched.unionByName(rebuilt)
+    },
+    Some(scd2Sql),
+    "Incremental SCD2 merge: rebuild affected customers only == full rebuild")
 
   /** Z-order (Morton) interleave of two join/filter dimensions — the
     * layout transform behind multi-dimensional data skipping: sorting
@@ -668,5 +714,6 @@ object AnalyticsQueries {
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
-    qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qZorderCluster)
+    qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
+    qZorderCluster)
 }

@@ -239,6 +239,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("q_scd2_merge broadcasts the affected-customer key set (anti + semi)") {
+    // the update batch's keyset is batch-sized: both the untouched
+    // pass-through (anti) and the affected-orders selection (semi)
+    // must broadcast it, never shuffle the history
+    val plan = planString("q_scd2_merge")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q_line_dedup first-occurrence is a min-aggregate, not a line window") {
     // boilerplate lines are the heavy hitters: a row_number window
     // funnels each line's occurrences into one partition, while
