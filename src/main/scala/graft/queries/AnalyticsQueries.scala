@@ -557,39 +557,18 @@ object AnalyticsQueries {
     * cardinality. Unique o_orderkey makes the sort total, so the
     * RANGE-vs-ROWS running-sum frame distinction is moot and both
     * engines agree. */
-  /** The SCD2 history build over a (o_custkey, o_orderkey, d, st)
-    * projection — shared by the full rebuild (q_scd2_orders) and the
-    * incremental merge (q_scd2_merge). Per-customer-local by
-    * construction: a customer's versions depend only on that
-    * customer's rows, which is exactly what makes incremental
-    * maintenance sound. */
-  private def scd2History(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("d"), col("o_orderkey"))
-    val runs = o
-      .withColumn("chg",
-        when(lag(col("st"), 1).over(w).isNull
-          || lag(col("st"), 1).over(w) =!= col("st"), 1L).otherwise(0L))
-      .withColumn("run_id", sum(col("chg")).over(w))
-      .groupBy(col("o_custkey"), col("run_id"))
-      .agg(min(col("st")).as("o_orderstatus"),
-        min(col("d")).as("valid_from"),
-        count(lit(1)).as("n_orders"))
-    val wv = Window.partitionBy("o_custkey").orderBy("run_id")
-    runs.select(col("o_custkey"), col("run_id").as("version"),
-      col("o_orderstatus"), col("valid_from"),
-      lead(col("valid_from"), 1).over(wv).as("valid_to"),
-      lead(col("valid_from"), 1).over(wv).isNull.as("is_current"),
-      col("n_orders"))
-  }
+  /** The SCD2 build lives in ops.Scd2 (shared with the incremental
+    * fold and its streaming twin). */
+  private def scd2History(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Scd2.history(o)
 
-  private def ordersProjected(spark: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def ordersProjected(spark: org.apache.spark.sql.SparkSession, dir: String) =
     load(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("d"),
         col("o_orderstatus").as("st"))
 
-  private val scd2Sql = """WITH o AS (
+  private[queries] val scd2Sql = """WITH o AS (
       SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
         o_orderstatus AS st FROM orders),
     r AS (SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
@@ -647,6 +626,26 @@ object AnalyticsQueries {
     },
     Some(scd2Sql),
     "Incremental SCD2 merge: rebuild affected customers only == full rebuild")
+
+  /** The strictly-incremental form: advance the history from HISTORY
+    * ROWS + BATCH ONLY — q_scd2_merge still re-read affected
+    * customers' old orders; this one cannot (ops.Scd2.fold re-enters
+    * each affected OPEN row as a weighted pseudo-order). The oracle
+    * is again the full rebuild, so the hash compare proves the
+    * operational no-fact-re-read merge converges to from-scratch
+    * truth. Work tracks the batch: broadcast keyset joins, islands
+    * window over (open rows + batch). */
+  val qScd2Fold = Q(
+    "q_scd2_fold",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val cutoff = "2001-06-01"
+      val o = ordersProjected(spark, dir)
+      val hist = graft.ops.Scd2.history(o.filter(col("d") < lit(cutoff)))
+      graft.ops.Scd2.fold(hist, o.filter(col("d") >= lit(cutoff)))
+    },
+    Some(scd2Sql),
+    "Strictly-incremental SCD2 fold (history+batch only) == full rebuild")
 
   /** Z-order (Morton) interleave of two join/filter dimensions — the
     * layout transform behind multi-dimensional data skipping: sorting
@@ -715,5 +714,5 @@ object AnalyticsQueries {
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
     qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
-    qZorderCluster)
+    qScd2Fold, qZorderCluster)
 }

@@ -80,5 +80,62 @@ object StreamQueries {
     JOIN hist h USING (fp)"""),
     "Streaming foreachBatch incremental dedup == batch result (parity oracle)")
 
-  val all: Seq[Q] = Seq(qStreamBatchParity)
+  /** Streaming SCD2 maintenance — the dimension-update pipeline as it
+    * actually runs in production: a seed history is built once, then
+    * each arriving update batch advances it through the strictly-
+    * incremental ops.Scd2.fold (history rows + batch only, no fact
+    * re-read). Three month-partitioned files arrive as ordered
+    * micro-batches (maxFilesPerTrigger=1; sequential writes give
+    * strictly increasing mtimes, which the file source replays in
+    * order — the same in-date-order assumption every incremental
+    * warehouse load makes). The final history is hash-compared
+    * against the FULL-REBUILD SQL: three chained folds converge to
+    * from-scratch truth, proven every round.
+    *
+    * Each fold ends in localCheckpoint(): the history is the loop
+    * state, and without the barrier its plan doubles per batch (the
+    * Components round-3 lesson). Same LOCAL-MODE-ONLY scratch-path
+    * note as q_stream_batch_parity. */
+  val scd2Root = "/tmp/graft_stream_scd2"
+
+  val qStreamScd2Parity = Q(
+    "q_stream_scd2_parity",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val inDir = s"$scd2Root/in"
+      val ckDir = s"$scd2Root/ck"
+      val fs = new Path(scd2Root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(scd2Root), true)
+
+      val cutoff = "2001-06-01"
+      val o = AnalyticsQueries.ordersProjected(spark, dir)
+      var hist = graft.ops.Scd2.history(o.filter(col("d") < lit(cutoff)))
+        .localCheckpoint()
+      Seq(("2001-06-01", "2001-07-01"), ("2001-07-01", "2001-08-01"),
+        ("2001-08-01", "2002-01-01")).foreach { case (lo, hi) =>
+        o.filter(col("d") >= lit(lo) && col("d") < lit(hi))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val stream = spark.readStream
+        .schema("o_custkey LONG, o_orderkey LONG, d DATE, st STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            hist = graft.ops.Scd2.fold(hist, batch).localCheckpoint()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      hist
+    },
+    Some(AnalyticsQueries.scd2Sql),
+    "Streaming SCD2: chained incremental folds == full rebuild (parity oracle)")
+
+  val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity)
 }

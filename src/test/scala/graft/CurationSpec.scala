@@ -106,6 +106,38 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("Scd2.fold: extends open runs, versions new customers, chains batches") {
+    import graft.ops.Scd2
+    def o(rows: (Long, Long, String, String)*) = {
+      import spark.implicits._
+      rows.toDF("o_custkey", "o_orderkey", "d0", "st")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("d0").cast("date").as("d"), col("st"))
+    }
+    val old = o((1L, 1L, "2020-01-01", "A"), (1L, 2L, "2020-02-01", "A"),
+      (2L, 10L, "2020-01-15", "F"))
+    val b1 = o((1L, 3L, "2020-03-01", "A"), // extends cust 1's open A run
+      (2L, 11L, "2020-03-01", "O"),         // new version for cust 2
+      (3L, 20L, "2020-03-05", "P"))         // brand-new customer
+    val b2 = o((1L, 4L, "2020-04-01", "B")) // closes cust 1's A run
+    val folded = Scd2.fold(Scd2.fold(Scd2.history(old), b1), b2).cache()
+    try {
+      val full = Scd2.history(old.unionByName(b1).unionByName(b2))
+      assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+        "chained folds diverge from the full rebuild")
+      // the A run absorbed the batch-1 order: weight carried through
+      val a = folded.filter(col("o_custkey") === 1L && col("version") === 1L)
+        .collect()(0)
+      assert(a.getAs[String]("o_orderstatus") === "A"
+        && a.getAs[Long]("n_orders") === 3L
+        && !a.getAs[Boolean]("is_current"))
+      // the brand-new customer starts at version 1, open
+      val c3 = folded.filter(col("o_custkey") === 3L).collect()
+      assert(c3.length === 1 && c3(0).getAs[Long]("version") === 1L
+        && c3(0).getAs[Boolean]("is_current"))
+    } finally { folded.unpersist(); () }
+  }
+
   test("q_mixture_sample: rates cap at 10000 and admission is below-rate") {
     val out = q("q_mixture_sample").cache()
     try {
