@@ -994,6 +994,77 @@ object TextQueries {
     JOIN hist h USING (fp)"""),
     "Incremental dedup: Bloom sketch prefilter + exact verify join")
 
+  /** Composite curation gate (the Gopher/MassiveText-style rule
+    * stack): five quality rules evaluated per document, reported as a
+    * FAILURE BITMASK (0 = admit) so downstream can both filter and
+    * audit WHY documents fell out — at corpus scale the reason
+    * histogram is the knob-tuning signal, not the boolean. All rules
+    * are integral (counts, ×100 / basis-point ratios with integer
+    * division), so the verdict is bit-reproducible. Entirely
+    * row-local — zero shuffles; the distributed-count form of the
+    * repetition signal lives in q_text_repetition (this row-local
+    * variant is the right shape while documents fit a row, which a
+    * curation gate can assume AFTER chunking). */
+  val qGopherFilter = Q(
+    "q_gopher_filter",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val w = words(col("text"))
+      val nW = size(w).cast("long")
+      val nC = length(col("text")).cast("long")
+      // total word chars = normalized length minus the n-1 separators
+      val wordChars = length(normText(col("text"))) - (nW - 1)
+      // `/` on Column is double division; the truncating cast equals
+      // DuckDB's `//` here because every operand is non-negative and
+      // far below the double-exactness boundary
+      val mwlE2 = ((wordChars * 100L) / greatest(nW, lit(1L))).cast("long")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("long")
+      val symBp = ((punct * 10000L) / greatest(nC, lit(1L))).cast("long")
+      val nStop = vocabHits(w, Stop).cast("long")
+      val dupBp = (((nW - size(array_distinct(w))) * 10000L)
+        / greatest(nW, lit(1L))).cast("long")
+      val failMask =
+        when(nW < 10 || nW > 100000, 1L).otherwise(0L) +
+          when(mwlE2 < 250 || mwlE2 > 1200, 2L).otherwise(0L) +
+          when(symBp > 1500, 4L).otherwise(0L) +
+          when(nStop < 1, 8L).otherwise(0L) +
+          when(dupBp > 6000, 16L).otherwise(0L)
+      d.select(col("doc_id"), nW.as("n_words"), mwlE2.as("mwl_e2"),
+        symBp.as("sym_bp"), nStop.as("n_stop"), dupBp.as("dup_bp"),
+        failMask.as("fail_mask"), (failMask === 0L).as("admitted"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id, length(text) AS n_chars,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+        length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        ((length(norm) - (len(w) - 1)) * 100) // greatest(len(w), 1) AS mwl_e2,
+        (n_punct * 10000) // greatest(n_chars, 1) AS sym_bp,
+        CAST(len(list_filter(w, t -> t IN ('the','a','and','of','is','to'))) AS BIGINT) AS n_stop,
+        ((len(w) - len(list_distinct(w))) * 10000) // greatest(len(w), 1) AS dup_bp
+      FROM s),
+    f AS (
+      SELECT *,
+        (CASE WHEN n_words < 10 OR n_words > 100000 THEN 1 ELSE 0 END
+         + CASE WHEN mwl_e2 < 250 OR mwl_e2 > 1200 THEN 2 ELSE 0 END
+         + CASE WHEN sym_bp > 1500 THEN 4 ELSE 0 END
+         + CASE WHEN n_stop < 1 THEN 8 ELSE 0 END
+         + CASE WHEN dup_bp > 6000 THEN 16 ELSE 0 END) AS fail_mask
+      FROM m)
+    SELECT doc_id, n_words, CAST(mwl_e2 AS BIGINT) AS mwl_e2,
+      CAST(sym_bp AS BIGINT) AS sym_bp, n_stop,
+      CAST(dup_bp AS BIGINT) AS dup_bp,
+      CAST(fail_mask AS BIGINT) AS fail_mask,
+      (fail_mask = 0) AS admitted
+    FROM f"""),
+    "Gopher-style composite quality gate: five integral rules, failure bitmask")
+
   /** Source-mixture rebalancing — the training-mix step that follows
     * curation: give every source the SAME token budget (tot div n_src)
     * and downsample each source to its budget with a deterministic
@@ -1173,6 +1244,6 @@ object TextQueries {
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
-    qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms,
+    qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qDedupComponents, qDedupApply, qBloomPrefilter)
 }
