@@ -411,8 +411,41 @@ object CoreQueries {
       FROM read_json('$jsonlFixturePath', format='newline_delimited')"""),
     "S-family JSONL scan: nested objects, arrays, missing keys, inference")
 
+  /** S-family: ORC roundtrip — the second columnar format big Spark
+    * deployments actually hold (Hive-era warehouses are ORC; a
+    * migration engine must read/write both). Write lineitem as ORC,
+    * read it back with a selective predicate, and aggregate; PlanSpec
+    * asserts the predicate reaches the ORC scan as a pushed filter
+    * (row-group skipping — at 100 TB the difference between reading
+    * 2% and 100% of the table). DuckDB has no ORC reader, so the
+    * oracle computes the same aggregate from the parquet source —
+    * which is exactly the roundtrip claim: ORC-out → ORC-in must be
+    * value-identical to the parquet original. Same LOCAL-MODE
+    * idempotent fixture-write convention as q_partitioned_roundtrip. */
+  val orcRoundtripPath = "/tmp/graft_orc_roundtrip/lineitem"
+  val qOrcRoundtrip = Q(
+    "q_orc_roundtrip",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "lineitem")
+        .write.mode("overwrite").orc(orcRoundtripPath)
+      spark.read.orc(orcRoundtripPath)
+        .filter(col("l_quantity") <= 5 && col("l_discount") >= 0.05)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem
+      WHERE l_quantity <= 5 AND l_discount >= 0.05
+      GROUP BY 1, 2"""),
+    "S-family ORC sink + pushed-filter read-back roundtrip")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
     qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip,
-    qJsonlScan)
+    qJsonlScan, qOrcRoundtrip)
 }

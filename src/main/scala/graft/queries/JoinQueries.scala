@@ -255,6 +255,59 @@ object JoinQueries {
     FROM d"""),
     "dim_date calendar build (starschema_dw.txt:80-97) via sequence+explode")
 
+  /** Bucketed co-located join — the big-join scale shape the prompt
+    * calls out by name: when BOTH sides are too large to broadcast,
+    * pre-bucketing them on the join key (same bucket count) lets the
+    * sort-merge join read bucket i against bucket i with ZERO exchange
+    * on either side. At 100 TB this converts the dominant cost of a
+    * fact-fact join — shuffling both inputs — into a pure local merge;
+    * the bucketing cost is paid once at write time and amortized over
+    * every subsequent join on that key.
+    *
+    * The merge hint pins SMJ (a broadcast would hide the co-location
+    * being demonstrated; at real scale neither side is broadcastable).
+    * PlanSpec asserts the join subtree contains no shuffle. The
+    * managed-table write goes to the session warehouse dir
+    * (LOCAL-MODE note: same per-invocation idempotent-write convention
+    * as q_csv_scan; on a cluster these would be persistent catalog
+    * tables written once). Aggregation after the join is integer-exact.
+    */
+  val qJoinBucketed = Q(
+    "q_join_bucketed",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+      val c = load(spark, dir, "customer")
+      // a prior SESSION's managed-table dir survives while the
+      // in-memory catalog does not — drop both before writing, or
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS
+      def resetTable(table: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        val loc = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), table)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      resetTable("graft_bkt_orders")
+      resetTable("graft_bkt_customer")
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt_orders")
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt_customer")
+      val ob = spark.table("graft_bkt_orders")
+      val cb = spark.table("graft_bkt_customer")
+      ob.hint("merge").join(cb, ob("o_custkey") === cb("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100)).cast("long").as("total_cents"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(round(o_totalprice*100)) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""),
+    "Bucketed co-located SMJ: both sides pre-bucketed on the key, zero-shuffle join")
+
   val all: Seq[Q] = Seq(qJoinBroadcastLeft, qJoinAnti, qJoinSemi,
-    qResolutionFuzzy, qUnionAllowMissing, qDimBuild, qFactAssembly, qDateDim)
+    qResolutionFuzzy, qUnionAllowMissing, qDimBuild, qFactAssembly, qDateDim,
+    qJoinBucketed)
 }

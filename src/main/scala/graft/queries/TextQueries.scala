@@ -1239,11 +1239,74 @@ object TextQueries {
     FROM m GROUP BY doc_id"""),
     "C4-style cross-corpus line dedup: keep first global occurrence, reassemble")
 
+  /** BM25 document ranking (Robertson/Sparck Jones; k1=1.2, b=0.75) —
+    * the doc-length-normalized relevance score TF-IDF lacks, and the
+    * lexical half of every retrieval/RAG stack. The "query" is the
+    * corpus's own 3 highest-df terms (deterministic at any scale — no
+    * fixture-vocabulary dependence); each (doc, term) contribution is
+    * rounded to basis points BEFORE the per-doc sum, so the doc score
+    * is an order-independent INTEGER sum (the q_tfidf_terms round-
+    * then-rank rule, extended to round-then-SUM: double addition does
+    * not commute, integer addition does).
+    *
+    * Scale: inverted-index shape — two combinable aggregates (tf, dl),
+    * a term-keyed df aggregate; query terms and the corpus stats
+    * scalar broadcast; the dl join is doc-keyed on the tf lineage
+    * already partitioned by doc; top-20 fuses into
+    * TakeOrderedAndProject (no global sort). */
+  val qBm25Rank = Q(
+    "q_bm25_rank",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(col("df").desc, col("term").asc).limit(3)
+      val stats = d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).as("tot_dl")))
+      val avgdl = col("tot_dl").cast("double") / col("n_docs")
+      val idf = log((col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0))
+      val frac = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      val sc = tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(lit(10000.0) * idf * frac).cast("long").as("term_bp"))
+      sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum(col("term_bp")).as("score_bp"))
+        .orderBy(col("score_bp").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""WITH w AS (
+      SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                  (SELECT SUM(dl) FROM dl) AS tot_dl),
+    qt AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 3),
+    sc AS (SELECT tf.doc_id,
+      CAST(round(10000.0 * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+            (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / n_docs)))))) AS BIGINT) AS term_bp
+      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), st),
+    agg AS (SELECT doc_id, COUNT(*) AS n_hit,
+      CAST(SUM(term_bp) AS BIGINT) AS score_bp FROM sc GROUP BY 1)
+    SELECT doc_id, n_hit, score_bp FROM agg
+    ORDER BY score_bp DESC, doc_id ASC LIMIT 20"""),
+    "BM25 ranking against the corpus's top-df terms: round-then-sum integer scores")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
-    qDedupComponents, qDedupApply, qBloomPrefilter)
+    qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter)
 }

@@ -178,9 +178,19 @@ object VectorQueries {
     * exactly); the metric is the same left-assoc double formula both
     * engines evaluate over those exact integers. */
   private def sqlKmeans: String = {
+    s"""WITH $sqlKmeansChain
+    SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vecs,
+      min(vec_id) AS min_vec_id
+    FROM a2 GROUP BY cluster"""
+  }
+
+  /** The shared CTE chain (normalize → quantize → seed → two Lloyd
+    * rounds → final assignment `a2(vec_id, cluster)`) — used by both
+    * the k-means histogram oracle and the SemDeDup oracle. */
+  private def sqlKmeansChain: String = {
     val dotVqC = (1 to Dims).map(i => s"vq[$i]*c[$i]").mkString(" + ")
     val sums = (1 to Dims).map(i => s"sum(vq[$i])").mkString(", ")
-    s"""WITH $sqlNormalizedCte,
+    s"""$sqlNormalizedCte,
     q AS (SELECT vec_id,
       [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series(1, $Dims)] AS vq
       FROM n),
@@ -204,10 +214,7 @@ object VectorQueries {
     a2 AS (SELECT vec_id, j AS cluster FROM (
         SELECT q.vec_id, t.j, ($dotVqC) - t.hn AS m
         FROM q CROSS JOIN c1h t)
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)
-    SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vecs,
-      min(vec_id) AS min_vec_id
-    FROM a2 GROUP BY cluster"""
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1)"""
   }
 
   /** K-means (Lloyd) training over the embeddings — the IVF coarse
@@ -460,6 +467,49 @@ object VectorQueries {
     },
     "PQ ADC search: per-query lookup tables over 2-bit codes, top-10")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * cluster the embedding space with a TRAINED quantizer (k-means),
+    * then search for near-duplicates only within each cluster — the
+    * trained twin of q_dedup_emb_cosine's fixed-hyperplane blocking.
+    * Keep-first rule: a vector is removed iff a lower-id vector in its
+    * cluster has cosine ≥ τ; its canonical is the smallest such id
+    * (a min(struct) aggregate — map-side combinable, never a window).
+    *
+    * Scale: assignment is row-local (centroids are plan literals), the
+    * pair kernel is per-cluster; k must grow ~N/target_cluster_size so
+    * per-cluster work stays bounded (the paper runs k=50k over 5B
+    * embeddings — same shape, bigger k). No corpus collect, no
+    * all-pairs join. */
+  val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"), col("vn"))
+        .withColumn("vq", graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = graft.ops.KMeans
+        .lloydAssign(e, "vq", "vec_id", 4, Dims, 2, "cluster")
+        .select(col("cluster"), col("vec_id"), col("vn"))
+      val pairs = bucketedPairsCosineAtLeast(assigned, "cluster", "vec_id", "vn", 4500L)
+      pairs.groupBy(col("vec_id_b").as("vec_id"))
+        .agg(min(struct(col("vec_id_a"), col("cos_bp"))).as("m"))
+        .select(col("vec_id"), col("m.vec_id_a").as("canonical_id"),
+          col("m.cos_bp").as("cos_bp"))
+    },
+    Some(s"""WITH $sqlKmeansChain,
+    nb AS (SELECT a2.vec_id, a2.cluster, n.vn FROM a2 JOIN n USING (vec_id)),
+    p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      CAST(round(10000 * (${sqlDot("a.vn", "b.vn")})) AS BIGINT) AS cos_bp
+      FROM nb a JOIN nb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    f AS (SELECT * FROM p WHERE cos_bp >= 4500),
+    r AS (SELECT b_id, a_id, cos_bp,
+      row_number() OVER (PARTITION BY b_id ORDER BY a_id ASC, cos_bp ASC) AS rn
+      FROM f)
+    SELECT b_id AS vec_id, a_id AS canonical_id, cos_bp FROM r WHERE rn = 1"""),
+    "SemDeDup: k-means-clustered embedding space, within-cluster cosine dedup")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
-    qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc)
+    qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
+    qSemanticDedup)
 }

@@ -269,4 +269,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ArrayTransform") && !plan.contains("transform("))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("q_join_bucketed: co-bucketed SMJ, zero exchange on either join input") {
+    val plan = planString("q_join_bucketed")
+    assert(plan.contains("SortMergeJoin"), plan)
+    // bucketed scans announce their bucket pruning state
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // the ONLY exchange is the post-join mktsegment aggregate; the
+    // join reads bucket i against bucket i with no reshuffle — the
+    // entire point of paying the bucketed write
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q_orc_roundtrip pushes the predicate into the ORC scan") {
+    val fs = scans("q_orc_roundtrip")
+    assert(fs.nonEmpty)
+    val orc = fs.filter(_.relation.fileFormat.toString.toLowerCase.contains("orc"))
+    assert(orc.nonEmpty, s"no ORC scan in: ${fs.map(_.relation.fileFormat)}")
+    // quantity/discount predicates must reach the ORC reader (row-group
+    // skipping), not run as a post-scan filter only
+    assert(orc.exists(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("LessThanOrEqual") && s.contains("GreaterThanOrEqual"))),
+      orc.map(_.metadata.get("PushedFilters")).toString)
+  }
+
+  test("q_semantic_dedup assigns row-locally (centroid literals, no assign join)") {
+    val plan = planString("q_semantic_dedup")
+    // k-means assignment must stay a projection over plan literals —
+    // the corpus never joins against a centroid table; the only joins
+    // are not present at all (pair kernel is flatMapGroups)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_bm25_rank broadcasts query terms + stats; top-20 fuses into TakeOrdered") {
+    val plan = planString("q_bm25_rank")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row stats scalar
+  }
 }
