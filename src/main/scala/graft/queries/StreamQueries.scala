@@ -137,5 +137,73 @@ object StreamQueries {
     Some(AnalyticsQueries.scd2Sql),
     "Streaming SCD2: chained incremental folds == full rebuild (parity oracle)")
 
-  val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity)
+  /** Streaming dedup with WATERMARKED state —
+    * `dropDuplicatesWithinWatermark`, the built-in Structured
+    * Streaming operator the two foreachBatch parities don't cover:
+    * dedup state lives INSIDE the engine and is expired by the event-
+    * time watermark, which is what makes infinite-stream dedup
+    * feasible at all (unbounded streams cannot keep unbounded state;
+    * the watermark bounds it to the late-arrival window).
+    *
+    * Fixture: every event_id % 5 == 0 event is re-delivered in a LATER
+    * micro-batch (at-least-once delivery, the case the operator
+    * exists for). The watermark delay exceeds the fixture's full time
+    * span, so no state expires mid-run and the streamed output must
+    * equal exactly one row per event — which is precisely the batch
+    * oracle (the seeded re-deliveries are byte-identical copies, so
+    * the oracle is simply the original projection of `events`). A
+    * surviving duplicate fails rows_match; a dropped original fails
+    * hash_match. Same LOCAL-MODE scratch-path note as the other
+    * stream parities. */
+  val wmRoot = "/tmp/graft_stream_wmdedup"
+
+  val qStreamWatermarkDedup = Q(
+    "q_stream_watermark_dedup",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val inDir = s"$wmRoot/in"
+      val outDir = s"$wmRoot/out"
+      val ckDir = s"$wmRoot/ck"
+      val fs = new Path(wmRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(wmRoot), true)
+
+      val ev = load(spark, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // originals first (2 files), then the re-delivered copies (1
+      // file, strictly later mtime → later micro-batch)
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
+      ev.filter(col("event_id") % 5 === 0)
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val deduped = stream
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select(col("event_id"),
+              col("ts").cast("long").as("ts_s"), col("user_id"),
+              col("event_type"), col("cents"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    },
+    Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      user_id, event_type,
+      CAST(round(value*100) AS BIGINT) AS cents
+      FROM events"""),
+    "Streaming watermarked dedup: re-delivered events collapse to the batch set")
+
+  val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity,
+    qStreamWatermarkDedup)
 }

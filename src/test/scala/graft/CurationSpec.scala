@@ -177,6 +177,50 @@ class CurationSpec extends SparkSpec {
     assert(recall > 0.08, f"ADC recall@10 $recall%.3f not above 4x random")
   }
 
+  test("range-clustered layout skips row groups the scattered layout reads") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the cluster column must be a DATE: a pushed TIMESTAMP range is
+    // NOT consulted for parquet row-group skipping on this Spark
+    // (measured via the dev probe: 1500/1500 rows read with disjoint
+    // envelopes), while the identical DATE range prunes — which is why
+    // q_range_layout derives o_date before writing
+    Tables.ensureConf(spark)
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    val clustered = "/tmp/graft_layout_clustered"
+    val scattered = "/tmp/graft_layout_scattered"
+    o.repartitionByRange(8, col("o_date"))
+      .sortWithinPartitions(col("o_date"))
+      .write.mode("overwrite").parquet(clustered)
+    o.repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(scattered)
+    // rows the parquet reader actually produced (surviving row groups).
+    // No aggregate on purpose: an exchange would wrap the scan in an
+    // AQE query stage (a leaf), hiding it from plan.collect
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("o_date").between(lit("1996-01-01"), lit("1996-12-31")))
+        .select(col("o_orderkey"))
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val cl = scanRows(clustered)
+    val sc = scanRows(scattered)
+    // q_range_layout's write-side claim, measured: the date window
+    // covers ~1/6 of the span, so the clustered read touches ~2 of 8
+    // file envelopes while the scattered read touches all of them
+    assert(cl > 0 && sc > 0)
+    assert(cl * 3 <= sc, s"clustered scan read $cl rows vs scattered $sc — no skipping")
+  }
+
   test("q_tfidf_terms: dense rank 1..5 per doc; corpus-wide terms score zero") {
     val out = q("q_tfidf_terms").cache()
     try {
