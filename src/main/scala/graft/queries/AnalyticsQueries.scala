@@ -267,6 +267,58 @@ object AnalyticsQueries {
       FROM orders GROUP BY o_orderpriority"""),
     "Approximate aggregates: HLL + approx percentile, bounded-error verified")
 
+  /** Count-min-sketch heavy hitters — the third mergeable sketch in
+    * the approx family (HLL = distincts, KLL-ish = percentiles, CMS =
+    * frequencies). One combinable aggregate folds the term stream into
+    * a KB-sized sketch; only the sketch reaches the driver (the same
+    * legitimate k-row/sketch-sized collect as KMeans centroids and the
+    * Bloom build), and the exact top-20 — computed distributed, the
+    * q_text_top_terms shape — is probed against it. Outputs are exact
+    * values plus integer GUARANTEE flags the oracle pins to 1:
+    * est ≥ exact (CMS never under-counts) and est ≤ exact + ⌈ε·N⌉
+    * (the ε-accuracy bound at the fixed seed — deterministic for a
+    * given dataset, so the hash compare is stable at every SF).
+    * Raw estimates are deliberately NOT emitted: they are
+    * engine-specific, the flags are the cross-engine-checkable claim.
+    *
+    * Scale: the sketch state is O(width·depth) regardless of N — this
+    * is what replaces exact per-term counting when the term space
+    * itself no longer fits (trillions of distinct n-grams). */
+  val qCmsHeavyHitters = Q(
+    "q_cms_heavy_hitters",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val eps = 0.001
+      val terms = load(spark, dir, "documents")
+        .select(explode(words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val skBytes = terms
+        .agg(expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val bound = math.ceil(eps * cms.totalCount).toLong
+      val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(20)
+        .collect() // k-row driver probe against the sketch
+      import spark.implicits._
+      top.map { r =>
+        val term = r.getString(0); val n = r.getLong(1)
+        val est = cms.estimateCount(term)
+        (term, n, if (est >= n) 1L else 0L,
+          if (est - n <= bound) 1L else 0L)
+      }.toSeq.toDF("term", "n", "cms_never_under", "cms_within_eps")
+    },
+    Some("""SELECT term, COUNT(*) AS n,
+      1 AS cms_never_under, 1 AS cms_within_eps
+      FROM (SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0
+      GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"""),
+    "CMS heavy hitters: frequency sketch with guarantee flags the oracle pins")
+
   /** Semi-structured JSON: typed `from_json` on the events `props`
     * column, then grouped aggregates over the extracted field. The
     * schema is declared (no sampling pass), so the parse is a
@@ -756,5 +808,5 @@ object AnalyticsQueries {
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
     qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
-    qScd2Fold, qZorderCluster, qRangeLayout)
+    qScd2Fold, qZorderCluster, qRangeLayout, qCmsHeavyHitters)
 }
