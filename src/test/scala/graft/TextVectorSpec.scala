@@ -111,6 +111,26 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("q_semantic_dedup is SOUND: every removal is a real ≥τ pair, canonical < removed") {
+    Tables.ensureConf(spark)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = VectorOps.withNormalizedNative(e, "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+    // exact all-pairs at the registry threshold (4500 bp) — the
+    // removal set must be a subset (clustering can only LOSE pairs
+    // across boundaries, never invent them) and each canonical a true
+    // ≥τ match below the removed id
+    val exact = graft.dev.DevBaselines.allPairsCosineAtLeast(n, "vec_id", "vn", 4500L, 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val removed = SparkEntry.queries("q_semantic_dedup")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    removed.foreach { case (vid, canon, bp) =>
+      assert(canon < vid, s"canonical $canon not below removed $vid")
+      assert(exact.get((canon, vid)).contains(bp),
+        s"($canon,$vid)=$bp not a true ≥τ pair")
+    }
+  }
+
   test("vocabHits and quality components") {
     val got = Seq("the cat and the hat").toDF("t")
       .select(TextOps.vocabHits(TextOps.words(col("t")), Seq("the", "and")))
