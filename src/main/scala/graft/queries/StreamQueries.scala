@@ -204,6 +204,71 @@ object StreamQueries {
       FROM events"""),
     "Streaming watermarked dedup: re-delivered events collapse to the batch set")
 
+  /** Watermarked STREAM-STREAM inner join — the remaining Structured
+    * Streaming state shape (two-sided buffered state, expired by the
+    * pair of watermarks plus an explicit event-time bound): clicks
+    * join purchases by the same user within the following hour. Both
+    * sides buffer only the watermark-bounded window — without the
+    * time-range condition the state is unbounded and the query is
+    * unrunnable at scale, which is exactly the discipline this
+    * operator demonstrates.
+    *
+    * Each matched pair is emitted exactly once regardless of which
+    * micro-batch each side arrived in, so the accumulated output must
+    * equal the batch time-bounded join — the oracle. Same LOCAL-MODE
+    * scratch-path note as the other stream parities. */
+  val ssjRoot = "/tmp/graft_stream_ssj"
+
+  val qStreamStreamJoin = Q(
+    "q_stream_stream_join",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val fs = new Path(ssjRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(ssjRoot), true)
+
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+        .repartition(2).write.mode("overwrite").parquet(s"$ssjRoot/clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+        .repartition(2).write.mode("overwrite").parquet(s"$ssjRoot/purchases")
+
+      val clicks = spark.readStream
+        .schema("c_id LONG, c_ts TIMESTAMP, c_user LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/clicks")
+        .withWatermark("c_ts", "3650 days")
+      val purchases = spark.readStream
+        .schema("p_id LONG, p_ts TIMESTAMP, p_user LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/purchases")
+        .withWatermark("p_ts", "3650 days")
+      val joined = clicks.join(purchases, expr(
+        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+      val q = joined.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+              (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_s"))
+            .write.mode("append").parquet(s"$ssjRoot/out")
+          ()
+        }
+        .option("checkpointLocation", s"$ssjRoot/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$ssjRoot/out")
+    },
+    Some("""SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+      CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""),
+    "Watermarked stream-stream join == the batch time-bounded join (parity oracle)")
+
   val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity,
-    qStreamWatermarkDedup)
+    qStreamWatermarkDedup, qStreamStreamJoin)
 }
