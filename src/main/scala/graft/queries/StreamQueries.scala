@@ -19,6 +19,25 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
   import Tables.load
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the
+    * session value after. For a STREAMING query this is the state-store
+    * partition count, fixed at the checkpoint's first run — the state
+    * sizing dial: every micro-batch pays per-partition state-store
+    * open/commit/snapshot cost, so partitions must track KEY
+    * CARDINALITY (state volume / target per-task state), not the
+    * batch-side core count. At bench scale 32 state partitions for a
+    * handful of keys made per-batch overhead dominate (q_stream_
+    * stream_join 7.5 s → measured ~3× faster at 8); at corpus scale
+    * the same dial turns the other way. Results are partitioning-
+    * independent (hash-verified), only the constant factor moves. */
+  private def withStatePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Scratch root. LOCAL-MODE-ONLY path, same note as q_csv_scan:
     * single-JVM environment makes driver-local /tmp visible to all
     * executors; a cluster run points this at shared storage. */
@@ -50,6 +69,9 @@ object StreamQueries {
       f.filter(col("doc_id") % 3 =!= 0).repartition(4)
         .write.mode("overwrite").parquet(inDir)
 
+      // no state-partition dial here: foreachBatch queries keep NO
+      // engine state store — fewer partitions would only cost the
+      // per-batch joins their parallelism (measured 2.4 -> 2.9 s at 8)
       val stream = spark.readStream
         .schema("doc_id LONG, fp STRING")
         .option("maxFilesPerTrigger", "1")
@@ -117,6 +139,8 @@ object StreamQueries {
         o.filter(col("d") >= lit(lo) && col("d") < lit(hi))
           .coalesce(1).write.mode("append").parquet(inDir)
       }
+      // foreachBatch-only (no engine state store) — see the
+      // q_stream_batch_parity note; the dial stays off here too
       val stream = spark.readStream
         .schema("o_custkey LONG, o_orderkey LONG, d DATE, st STRING")
         .option("maxFilesPerTrigger", "1")
@@ -177,25 +201,27 @@ object StreamQueries {
       ev.filter(col("event_id") % 5 === 0)
         .coalesce(1).write.mode("append").parquet(inDir)
 
-      val stream = spark.readStream
-        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, cents LONG")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-      val deduped = stream
-        .withWatermark("ts", "3650 days")
-        .dropDuplicatesWithinWatermark("event_id")
-      val q = deduped.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.select(col("event_id"),
-              col("ts").cast("long").as("ts_s"), col("user_id"),
-              col("event_type"), col("cents"))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val stream = spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, cents LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val deduped = stream
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("event_id"),
+                col("ts").cast("long").as("ts_s"), col("user_id"),
+                col("event_type"), col("cents"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       spark.read.parquet(outDir)
     },
     Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -238,27 +264,29 @@ object StreamQueries {
           col("user_id").as("p_user"))
         .repartition(2).write.mode("overwrite").parquet(s"$ssjRoot/purchases")
 
-      val clicks = spark.readStream
-        .schema("c_id LONG, c_ts TIMESTAMP, c_user LONG")
-        .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/clicks")
-        .withWatermark("c_ts", "3650 days")
-      val purchases = spark.readStream
-        .schema("p_id LONG, p_ts TIMESTAMP, p_user LONG")
-        .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/purchases")
-        .withWatermark("p_ts", "3650 days")
-      val joined = clicks.join(purchases, expr(
-        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
-      val q = joined.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
-              (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_s"))
-            .write.mode("append").parquet(s"$ssjRoot/out")
-          ()
-        }
-        .option("checkpointLocation", s"$ssjRoot/ck")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val clicks = spark.readStream
+          .schema("c_id LONG, c_ts TIMESTAMP, c_user LONG")
+          .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/clicks")
+          .withWatermark("c_ts", "3650 days")
+        val purchases = spark.readStream
+          .schema("p_id LONG, p_ts TIMESTAMP, p_user LONG")
+          .option("maxFilesPerTrigger", "1").parquet(s"$ssjRoot/purchases")
+          .withWatermark("p_ts", "3650 days")
+        val joined = clicks.join(purchases, expr(
+          "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+        val q = joined.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+                (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_s"))
+              .write.mode("append").parquet(s"$ssjRoot/out")
+            ()
+          }
+          .option("checkpointLocation", s"$ssjRoot/ck")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       spark.read.parquet(s"$ssjRoot/out")
     },
     Some("""SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
