@@ -295,7 +295,7 @@ object AnalyticsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val skBytes = terms
         .agg(expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("sk"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skBytes))
       val bound = math.ceil(eps * cms.totalCount).toLong

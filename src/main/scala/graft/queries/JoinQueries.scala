@@ -307,7 +307,51 @@ object JoinQueries {
       GROUP BY 1"""),
     "Bucketed co-located SMJ: both sides pre-bucketed on the key, zero-shuffle join")
 
+  /** FULL OUTER join — the remaining join type in the family (LEFT /
+    * ANTI / SEMI / INNER / bucketed SMJ are covered above). Two
+    * derived per-customer sets that each contain keys the other
+    * lacks: negative-balance customers vs customers holding a
+    * ≥300k order; both null sides must survive into the output.
+    *
+    * Scale: FULL OUTER cannot broadcast either side (unmatched rows
+    * of BOTH sides must be emitted, so both must be partitioned) —
+    * the right plan is a sort-merge join with one shuffle per side
+    * on the join key, which is exactly what Spark picks; both inputs
+    * are pre-aggregated to key cardinality before the join so the
+    * shuffled payload is counts, not raw rows. */
+  val qJoinFullOuter = Q(
+    "q_join_full_outer",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val neg = load(spark, dir, "customer")
+        .filter(col("c_acctbal") < 0)
+        .groupBy(col("c_custkey"))
+        .agg(round(min(col("c_acctbal")) * 100).cast("long").as("acctbal_cents"))
+      val big = load(spark, dir, "orders")
+        .filter(col("o_totalprice") >= 300000)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      neg.join(big, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          col("acctbal_cents"),
+          col("n_big_orders"),
+          (col("acctbal_cents").isNotNull && col("n_big_orders").isNotNull)
+            .cast("int").as("in_both"))
+    },
+    Some("""SELECT COALESCE(n.c_custkey, b.c_custkey) AS c_custkey,
+      n.acctbal_cents, b.n_big_orders,
+      CAST(n.acctbal_cents IS NOT NULL AND b.n_big_orders IS NOT NULL
+        AS INTEGER) AS in_both
+      FROM (SELECT c_custkey,
+              CAST(round(MIN(c_acctbal)*100) AS BIGINT) AS acctbal_cents
+            FROM customer WHERE c_acctbal < 0 GROUP BY 1) n
+      FULL OUTER JOIN (SELECT o_custkey AS c_custkey,
+              COUNT(*) AS n_big_orders
+            FROM orders WHERE o_totalprice >= 300000 GROUP BY 1) b
+      ON n.c_custkey = b.c_custkey"""),
+    "FULL OUTER join: pre-aggregated sides, SMJ with unmatched rows from both")
+
   val all: Seq[Q] = Seq(qJoinBroadcastLeft, qJoinAnti, qJoinSemi,
     qResolutionFuzzy, qUnionAllowMissing, qDimBuild, qFactAssembly, qDateDim,
-    qJoinBucketed)
+    qJoinBucketed, qJoinFullOuter)
 }

@@ -1302,11 +1302,199 @@ object TextQueries {
     ORDER BY score_bp DESC, doc_id ASC LIMIT 20"""),
     "BM25 ranking against the corpus's top-df terms: round-then-sum integer scores")
 
+  /** Substring-level duplicate detection (the Lee et al. 2022
+    * "Deduplicating Training Data" shape, reduced to Spark-friendly
+    * form): find CROSS-document duplicated character spans that
+    * doc-level and line-level dedup both miss (boilerplate pasted
+    * mid-paragraph). Exact suffix arrays don't distribute; the
+    * standard scalable reduction is content-defined sampling
+    * (winnowing / MOSS, Schleimer et al. 2003): index only the
+    * K=32-char shingles whose own hash selects them (md5 first hex
+    * nibble = '0', i.e. 1/16 of positions). Selection depends on the
+    * CONTENT, not the offset, so two copies of a duplicated region
+    * sample the SAME shingles regardless of alignment — a stride
+    * would miss copies at different offsets. A seeded banner
+    * (doc_id % 7) plants a known cross-doc duplicated span.
+    *
+    * Scale: the explode is row-local (chars → candidate positions);
+    * only the 1/16 sample enters the one shuffle (groupBy shingle);
+    * the per-doc rollup joins sample-sized sides keyed by the same
+    * shingle column. No all-pairs anything; cost is O(total chars)
+    * map-side + O(chars/16) shuffle. */
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val K = 32
+      val banner = "== standard disclaimer: provided as-is without " +
+        "warranty of any kind; redistribution permitted =="
+      val seeded = load(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit(banner), col("text")))
+            .otherwise(col("text")).as("t"))
+        .filter(length(col("t")) >= K)
+      val sampled = seeded
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(1, length(t) - ${K - 1})")).as("p"))
+        .select(col("doc_id"), expr(s"substring(t, p, $K)").as("sh"))
+        .filter(substring(md5(col("sh")), 1, 1) === "0")
+      val dup = sampled.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("sh"), lit(1).as("is_dup"))
+      val perDoc = sampled.join(dup, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          count(col("is_dup")).as("n_dup_sampled"))
+      seeded.select(col("doc_id"),
+          (length(col("t")) - (K - 1)).cast("long").as("n_pos"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pos"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("n_dup_sampled"), lit(0L)).as("n_dup_sampled"),
+          (coalesce(col("n_dup_sampled"), lit(0L)) > 0).cast("int").as("has_dup"))
+    },
+    Some("""WITH s AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+          THEN '== standard disclaimer: provided as-is without warranty of any kind; redistribution permitted ==' || text
+          ELSE text END AS t
+      FROM documents),
+    long AS (SELECT * FROM s WHERE length(t) >= 32),
+    pos AS (SELECT doc_id, t,
+        unnest(generate_series(1, length(t) - 31)) AS p FROM long),
+    samp AS (SELECT doc_id, substr(t, p, 32) AS sh
+      FROM pos WHERE substr(md5(substr(t, p, 32)), 1, 1) = '0'),
+    dup AS (SELECT sh FROM samp GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) > 1),
+    agg AS (SELECT samp.doc_id, COUNT(*) AS n_sampled,
+        COUNT(dup.sh) AS n_dup_sampled
+      FROM samp LEFT JOIN dup ON samp.sh = dup.sh
+      GROUP BY samp.doc_id)
+    SELECT long.doc_id, CAST(length(t) - 31 AS BIGINT) AS n_pos,
+      COALESCE(n_sampled, 0) AS n_sampled,
+      COALESCE(n_dup_sampled, 0) AS n_dup_sampled,
+      CAST(COALESCE(n_dup_sampled, 0) > 0 AS INTEGER) AS has_dup
+    FROM long LEFT JOIN agg ON long.doc_id = agg.doc_id"""),
+    "Substring-level cross-doc dedup: winnowing-sampled 32-char shingles, one sample-sized shuffle")
+
+  /** BPE merge LEARNING (Sennrich et al. 2016) — the iterative half
+    * q_bpe_pairs stops short of: 3 rounds of (count adjacent symbol
+    * pairs over the weighted vocab) → (pick the max pair, ties to the
+    * lexicographically smallest (a,b)) → (greedily merge its
+    * non-overlapping occurrences left-to-right in every word). The
+    * merge is a single left fold with a top-of-accumulator check —
+    * provably equal to leftmost-first merging because a merged token
+    * a||b can never equal a (b is non-empty) and leftmost-ness rules
+    * out a pending (a,b) ending at the merge site. Output is the
+    * learned merge table itself: 3 rows, each a global aggregate over
+    * the whole corpus AFTER the previous merges were applied.
+    *
+    * Scale: exactly the Lloyd shape — the corpus is read once (word
+    * count); every later stage runs at VOCAB cardinality (distinct
+    * words), each round is one combinable pair-count shuffle plus a
+    * TakeOrdered(1), and only the k=1 winner row ever reaches the
+    * driver, re-entering the plan as literals. The fold lambda runs
+    * interpreted but row-local over vocab-sized data (the documented
+    * exception to the no-higher-order-fn rule). */
+  val qBpeLearn = Q(
+    "q_bpe_learn",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val vocab0 = load(spark, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr("filter(split(word, ''), x -> x <> '')").as("syms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cur = vocab0
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      (1 to 3).foreach { r =>
+        val win = cur.filter(size(col("syms")) >= 2)
+          .select(col("freq"), col("syms"),
+            explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+          .select(element_at(col("syms"), col("i")).as("a"),
+            element_at(col("syms"), col("i") + 1).as("b"), col("freq"))
+          .groupBy("a", "b").agg(sum(col("freq")).cast("long").as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b) = (win.getString(0), win.getString(1))
+        merges += ((r, a, b, win.getLong(2)))
+        cur = cur.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+      }
+      vocab0.unpersist()
+      merges.result()
+        .toDF("round_id", "merge_left", "merge_right", "pair_n")
+    },
+    Some(raw"""WITH RECURSIVE
+      words0 AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' ')) AS w
+          FROM documents) WHERE length(w) > 0 GROUP BY w),
+      vocab1 AS (
+        SELECT freq,
+          [substr(word, i, 1) FOR i IN range(1, length(word) + 1)] AS syms
+        FROM words0),
+      pairs1 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab1)
+        GROUP BY 1, 2),
+      win1 AS (SELECT a, b, n FROM pairs1 ORDER BY n DESC, a, b LIMIT 1),
+      f1 AS (
+        SELECT freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab1
+        UNION ALL
+        SELECT freq, syms, i + 1,
+          CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM win1)
+                AND syms[i] = (SELECT b FROM win1)
+            THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+            ELSE acc || [syms[i]] END
+        FROM f1 WHERE i <= len(syms)),
+      vocab2 AS (SELECT freq, acc AS syms FROM f1 WHERE i = len(syms) + 1),
+      pairs2 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab2)
+        GROUP BY 1, 2),
+      win2 AS (SELECT a, b, n FROM pairs2 ORDER BY n DESC, a, b LIMIT 1),
+      f2 AS (
+        SELECT freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab2
+        UNION ALL
+        SELECT freq, syms, i + 1,
+          CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM win2)
+                AND syms[i] = (SELECT b FROM win2)
+            THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+            ELSE acc || [syms[i]] END
+        FROM f2 WHERE i <= len(syms)),
+      vocab3 AS (SELECT freq, acc AS syms FROM f2 WHERE i = len(syms) + 1),
+      pairs3 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab3)
+        GROUP BY 1, 2),
+      win3 AS (SELECT a, b, n FROM pairs3 ORDER BY n DESC, a, b LIMIT 1)
+      SELECT CAST(round_id AS INTEGER) AS round_id, merge_left, merge_right,
+        pair_n FROM (
+        SELECT 1 AS round_id, a AS merge_left, b AS merge_right, n AS pair_n
+          FROM win1
+        UNION ALL SELECT 2, a, b, n FROM win2
+        UNION ALL SELECT 3, a, b, n FROM win3)"""),
+    "BPE merge learning: 3 Lloyd-shaped rounds, vocab-sized shuffles, k=1 driver rows")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
     qDedupSimhash, qCorpusPipeline, qMinhashSketch, qSampleStratified,
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
-    qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter)
+    qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
+    qDedupSubstring, qBpeLearn)
 }
