@@ -228,6 +228,157 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Lloyd/PQ assignment: argmax_j (vq·c_j − |c_j|²/2), ties to the
+    * smallest j. `cents` must be a FOLDABLE array<array<double>>
+    * literal (k × dims); it is extracted once on the driver and ships
+    * to executors as one reference object, so the generated code is
+    * two short loops regardless of k·dims — the unrolled-projection
+    * form this replaces generated k·dims product nodes per use site
+    * and dominated the PQ queries' wall clock via codegen compilation
+    * (measured ~2.5 s at sf0.001 AND sf0.1, i.e. all fixed cost).
+    * Arithmetic is bit-identical to the unrolled form: per-centroid
+    * left-assoc sum of (double)long × double, minus the halfNorm
+    * computed by the same ascending loop, strict-greater selection. */
+  case class LloydAssignCentroids(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(LongType, _) if right.foldable &&
+        right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, foldable array<array<double>>)")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_lloyd_assign"
+
+    @transient private lazy val cents: Array[Array[Double]] = {
+      val ad = right.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+    }
+    @transient private lazy val halfNorms: Array[Double] =
+      cents.map { c =>
+        var ss = 0.0; var i = 0
+        while (i < c.length) { ss += c(i) * c(i); i += 1 }
+        ss / 2
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val vq = a.asInstanceOf[ArrayData]
+      var best = 0; var bm = 0.0
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += vq.getLong(i).toDouble * c(i); i += 1 }
+        s -= halfNorms(j)
+        if (j == 0 || s > bm) { bm = s; best = j }
+        j += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("lloydCents", cents, "double[][]")
+      val hRef = ctx.addReferenceObj("lloydHns", halfNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, _) => {
+        val j = ctx.freshName("j"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val bm = ctx.freshName("bm")
+        val bj = ctx.freshName("bj"); val c = ctx.freshName("c")
+        s"""
+        int $bj = 0; double $bm = 0.0;
+        for (int $j = 0; $j < $cRef.length; $j++) {
+          double[] $c = $cRef[$j];
+          double $s = 0.0;
+          for (int $i = 0; $i < $c.length; $i++) {
+            $s += ((double) $a.getLong($i)) * $c[$i];
+          }
+          $s -= $hRef[$j];
+          if ($j == 0 || $s > $bm) { $bm = $s; $bj = $j; }
+        }
+        ${ev.value} = $bj;
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** PQ asymmetric-distance table: for query vector vn and foldable
+    * per-subspace codebooks (M × k × sub doubles), emit the flat
+    * array d[m·k + j] = Σ_i vn[m·sub + i] · c[m][j][i] (left-assoc).
+    * One loop nest replaces M·k unrolled product columns — same
+    * values, constant-size generated code. */
+  case class PqAdcTableExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(DoubleType, _) if right.foldable &&
+        right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, foldable array<array<array<double>>>)")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_pq_adc_table"
+
+    @transient private lazy val books: Array[Array[Array[Double]]] = {
+      val ms = right.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ms.numElements()) { m =>
+        val ks = ms.getArray(m)
+        Array.tabulate(ks.numElements())(j => ks.getArray(j).toDoubleArray())
+      }
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val vn = a.asInstanceOf[ArrayData]
+      val mN = books.length; val kN = books(0).length
+      val sub = books(0)(0).length
+      val out = new Array[Double](mN * kN)
+      var m = 0
+      while (m < mN) {
+        var j = 0
+        while (j < kN) {
+          val c = books(m)(j)
+          var s = 0.0; var i = 0
+          while (i < sub) { s += vn.getDouble(m * sub + i) * c(i); i += 1 }
+          out(m * kN + j) = s
+          j += 1
+        }
+        m += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (a, _) => {
+        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val kN = ctx.freshName("kN"); val sub = ctx.freshName("sub")
+        val out = ctx.freshName("out"); val c = ctx.freshName("c")
+        s"""
+        int $kN = $bRef[0].length;
+        int $sub = $bRef[0][0].length;
+        double[] $out = new double[$bRef.length * $kN];
+        for (int $m = 0; $m < $bRef.length; $m++) {
+          for (int $j = 0; $j < $kN; $j++) {
+            double[] $c = $bRef[$m][$j];
+            double $s = 0.0;
+            for (int $i = 0; $i < $sub; $i++) {
+              $s += $a.getDouble($m * $sub + $i) * $c[$i];
+            }
+            $out[$m * $kN + $j] = $s;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Idempotent session-level registration; `call_function` then makes
     * the expressions usable from the Column API without depending on
     * version-specific Column internals. */
@@ -248,5 +399,7 @@ object VectorExpressions {
     regN("graft_dot", 2, es => ArrayDotProduct(es(0), es(1)))
     regN("graft_scale_div", 2, es => ArrayScaleDivide(es(0), es(1)))
     regN("graft_quantize", 1, es => QuantizeStats(es(0)))
+    regN("graft_lloyd_assign", 2, es => LloydAssignCentroids(es(0), es(1)))
+    regN("graft_pq_adc_table", 2, es => PqAdcTableExpr(es(0), es(1)))
   }
 }

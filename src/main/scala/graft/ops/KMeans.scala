@@ -56,26 +56,20 @@ object KMeans {
   }
 
   /** Append `out` = argmax_j (vq·c_j − hn_j), smallest j on ties.
-    * Two stacked projections: the wide per-centroid metrics first
-    * (plain attribute refs only — the repo's no-nested-wide-expressions
-    * rule), then the strict-greater fold over the narrow metric
-    * columns, which keeps the earliest (= smallest) index on ties. */
+    * One native expression call (graft_lloyd_assign): the centroid
+    * matrix ships as a single foldable literal and the generated code
+    * is two short loops, constant-size in k·dims. The previous
+    * unrolled-projection form generated k·dims product nodes per use
+    * site; with 4 PQ subspaces its codegen COMPILATION dominated the
+    * query (~2.5 s at sf0.001 and sf0.1 alike — fixed cost, not data).
+    * Arithmetic order is unchanged (left-assoc dot, ascending-j
+    * strict-greater selection), so assignments are bit-identical. */
   def assign(df: DataFrame, vqCol: String, cents: Seq[Centroid], out: String): DataFrame = {
     val sorted = cents.sortBy(_.j)
     require(sorted.map(_.j) == sorted.indices, "centroid ids must be 0..k-1")
-    val metrics = sorted.map { ct =>
-      (1 to ct.c.length).map(i => element_at(col(vqCol), i) * lit(ct.c(i - 1)))
-        .reduceLeft(_ + _) - lit(ct.halfNorm)
-    }
-    val mCols = metrics.indices.map(j => s"__m$j")
-    val withM = df.select(
-      col("*") +: metrics.zipWithIndex.map { case (m, j) => m.as(s"__m$j") }: _*)
-    val best = metrics.indices.tail.foldLeft((col("__m0"), lit(0))) {
-      case ((bm, bj), j) =>
-        (when(col(s"__m$j") > bm, col(s"__m$j")).otherwise(bm),
-          when(col(s"__m$j") > bm, lit(j)).otherwise(bj))
-    }
-    withM.withColumn(out, best._2).drop(mCols: _*)
+    df.withColumn(out,
+      call_function("graft_lloyd_assign", col(vqCol),
+        typedLit(sorted.map(_.c.toSeq))))
   }
 
   /** One centroid update: per-cluster integer sums (order-independent)
@@ -116,5 +110,71 @@ object KMeans {
       dims: Int, iters: Int, out: String): DataFrame = {
     val cents = lloydTrain(df, vqCol, idCol, k, dims, iters)
     assign(df, vqCol, cents, out)
+  }
+
+  /** Multi-subspace seeds in ONE action: every vq column of the k
+    * smallest ids, from a single TakeOrdered. Values are identical to
+    * M separate [[seedCentroids]] calls — it is the same rows. */
+  def seedCentroidsMulti(df: DataFrame, vqCols: Seq[String], idCol: String,
+      k: Int): Seq[Seq[Centroid]] = {
+    val rows = df.select(col(idCol) +: vqCols.map(col): _*)
+      .orderBy(col(idCol).asc).limit(k).collect()
+    vqCols.indices.map { m =>
+      rows.zipWithIndex.map { case (r, j) =>
+        val c = r.getSeq[Long](m + 1).map(_.toDouble).toArray
+        Centroid(j, c, halfNormOf(c))
+      }.toSeq
+    }
+  }
+
+  /** Every subspace's centroid update in ONE pass over `df` — the
+    * shape that matters for PQ training at corpus scale: M
+    * independent [[updateCentroids]] calls re-read the input M times
+    * per Lloyd iteration, this reads it once. Rows explode row-locally
+    * to (subspace, cluster, subvector); the single combinable
+    * groupBy(m, cluster) shuffle carries the same integer partial
+    * sums the per-subspace form would (sums of the same integers in
+    * any order — exact), and M·k rows reach the driver. */
+  def updateCentroidsMulti(df: DataFrame, vqCols: Seq[String],
+      clusterCols: Seq[String], dims: Int,
+      prevs: Seq[Seq[Centroid]]): Seq[Seq[Centroid]] = {
+    require(vqCols.length == clusterCols.length && vqCols.length == prevs.length)
+    val entries = vqCols.zip(clusterCols).zipWithIndex.map { case ((vq, cl), m) =>
+      struct(lit(m).as("m"), col(cl).as("c"), col(vq).as("v"))
+    }
+    val exploded = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.m").as("__m"), col("e.c").as("__c"), col("e.v").as("__v"))
+    val aggs = count(lit(1)).as("__n") +:
+      (1 to dims).map(i => sum(element_at(col("__v"), i)).as(s"__s$i"))
+    val fresh = exploded.groupBy(col("__m"), col("__c")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val m = r.getInt(0); val j = r.getInt(1); val n = r.getLong(2)
+        val c = Array.tabulate(dims)(i => r.getLong(i + 3).toDouble / n)
+        (m, j) -> Centroid(j, c, halfNormOf(c))
+      }.toMap
+    prevs.zipWithIndex.map { case (prev, m) =>
+      prev.map(p => fresh.getOrElse((m, p.j), p))
+    }
+  }
+
+  /** Lloyd training over M subspaces jointly: one seed action + one
+    * corpus pass per iteration (vs M of each when trained one
+    * subspace at a time). Centroid values are bit-identical to M
+    * separate [[lloydTrain]] runs — the subspaces never mix, they
+    * just share passes. */
+  def lloydTrainMulti(df: DataFrame, vqCols: Seq[String], idCol: String,
+      k: Int, dims: Int, iters: Int): Seq[Seq[Centroid]] = {
+    var cents = seedCentroidsMulti(df, vqCols, idCol, k)
+    var i = 0
+    while (i < iters - 1) {
+      var cur = df
+      vqCols.indices.foreach { m =>
+        cur = assign(cur, vqCols(m), cents(m), s"__a$m")
+      }
+      cents = updateCentroidsMulti(cur, vqCols,
+        vqCols.indices.map(m => s"__a$m"), dims, cents)
+      i += 1
+    }
+    cents
   }
 }

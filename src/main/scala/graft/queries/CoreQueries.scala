@@ -337,7 +337,13 @@ object CoreQueries {
     * Same LOCAL-MODE-ONLY path note as q_csv_scan: the fixed /tmp dir
     * is shared driver/executor state only because this environment is
     * single-JVM; a cluster deployment points it at shared storage.
-    * Re-invocation overwrites idempotently. */
+    * Re-invocation overwrites idempotently — but unlike the csv/jsonl
+    * fixtures (constant bytes at any scale) this one is SCALE-
+    * DEPENDENT: two Verify runs at different sf dirs must not
+    * overlap, or the oracle reads the other run's data (observed
+    * once: an sf0.001 run overwrote the dir mid-sf1-check). The
+    * driver runs one scale at a time, so only concurrent dev runs
+    * can race. */
   val partRoundtripPath = "/tmp/graft_part_roundtrip"
   val qPartitionedRoundtrip = Q(
     "q_partitioned_roundtrip",

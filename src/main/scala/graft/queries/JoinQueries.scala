@@ -311,7 +311,7 @@ object JoinQueries {
     * ANTI / SEMI / INNER / bucketed SMJ are covered above). Two
     * derived per-customer sets that each contain keys the other
     * lacks: negative-balance customers vs customers holding a
-    * ≥300k order; both null sides must survive into the output.
+    * ≥450k order; both null sides must survive into the output.
     *
     * Scale: FULL OUTER cannot broadcast either side (unmatched rows
     * of BOTH sides must be emitted, so both must be partitioned) —
@@ -328,7 +328,7 @@ object JoinQueries {
         .groupBy(col("c_custkey"))
         .agg(round(min(col("c_acctbal")) * 100).cast("long").as("acctbal_cents"))
       val big = load(spark, dir, "orders")
-        .filter(col("o_totalprice") >= 300000)
+        .filter(col("o_totalprice") >= 450000)
         .groupBy(col("o_custkey").as("c_custkey"))
         .agg(count(lit(1)).as("n_big_orders"))
       neg.join(big, Seq("c_custkey"), "full_outer")
@@ -347,7 +347,7 @@ object JoinQueries {
             FROM customer WHERE c_acctbal < 0 GROUP BY 1) n
       FULL OUTER JOIN (SELECT o_custkey AS c_custkey,
               COUNT(*) AS n_big_orders
-            FROM orders WHERE o_totalprice >= 300000 GROUP BY 1) b
+            FROM orders WHERE o_totalprice >= 450000 GROUP BY 1) b
       ON n.c_custkey = b.c_custkey"""),
     "FULL OUTER join: pre-aggregated sides, SMJ with unmatched rows from both")
 

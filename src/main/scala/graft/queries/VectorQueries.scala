@@ -348,12 +348,15 @@ object VectorQueries {
           graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
         .select(col("vec_id") +: (0 until PqM).map(m =>
           slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
-        // seeds + updates + final assignment of each subspace re-read
-        // this lineage (~9 actions total)
+        // one seed action + one update pass serve ALL subspaces
+        // (lloydTrainMulti); the persisted lineage is read ~3 times
+        // total instead of ~9
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vqCols = (0 until PqM).map(m => s"vq_$m")
+      val cents = graft.ops.KMeans.lloydTrainMulti(base, vqCols, "vec_id", PqK, PqSub, 2)
       var cur = base
       (0 until PqM).foreach { m =>
-        cur = graft.ops.KMeans.lloydAssign(cur, s"vq_$m", "vec_id", PqK, PqSub, 2, s"code_$m")
+        cur = graft.ops.KMeans.assign(cur, s"vq_$m", cents(m), s"code_$m")
       }
       cur.select(col("vec_id") +:
         (0 until PqM).map(m => col(s"code_$m").cast("int").as(s"code_$m")) :+
@@ -397,8 +400,8 @@ object VectorQueries {
         .select(col("vec_id") +: col("vn") +: (0 until PqM).map(m =>
           slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = (0 until PqM).map(m =>
-        graft.ops.KMeans.lloydTrain(base, s"vq_$m", "vec_id", PqK, PqSub, 2))
+      val cents = graft.ops.KMeans.lloydTrainMulti(base,
+        (0 until PqM).map(m => s"vq_$m"), "vec_id", PqK, PqSub, 2)
       var coded = base
       (0 until PqM).foreach { m =>
         coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
@@ -411,22 +414,19 @@ object VectorQueries {
       val corpus = coded.select(col("vec_id") +:
         (0 until PqM).map(m => col(s"code_$m")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // per-query ADC tables: d_m_j = q-subvector · codeword j of
-      // subspace m, computed ONCE per query (exact vn doubles,
-      // left-assoc i order — bit-identical to the oracle's t_m CTE)
-      val tabCols = for { m <- 0 until PqM; j <- 0 until PqK } yield {
-        val c = cents(m)(j).c
-        (1 to PqSub).map(i => element_at(col("vn"), m * PqSub + i) * lit(c(i - 1)))
-          .reduceLeft(_ + _).as(s"d_${m}_$j")
-      }
+      // per-query ADC table: d[m·k+j] = q-subvector · codeword j of
+      // subspace m, computed ONCE per query as a single native-
+      // expression array (exact vn doubles, left-assoc i order —
+      // bit-identical to the oracle's t_m CTE and to the unrolled
+      // column form this replaces); scoring is M codegen'd
+      // element_at lookups instead of an M·k-way when-chain
       val qt = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id") +: tabCols: _*)
-      val sim = (0 until PqM).map { m =>
-        (1 until PqK).foldLeft(
-          when(col(s"code_$m") === 0, col(s"d_${m}_0"))) { (acc, j) =>
-          acc.when(col(s"code_$m") === j, col(s"d_${m}_$j"))
-        }
-      }.reduceLeft(_ + _)
+        .select(col("vec_id").as("q_id"),
+          call_function("graft_pq_adc_table", col("vn"),
+            typedLit(cents.map(_.map(_.c.toSeq)))).as("adc"))
+      val sim = (0 until PqM).map(m =>
+        element_at(col("adc"), col(s"code_$m") + lit(m * PqK + 1)))
+        .reduceLeft(_ + _)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       // narrow to 3 columns BEFORE the window: the rank sort otherwise

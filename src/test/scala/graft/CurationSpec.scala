@@ -233,4 +233,76 @@ class CurationSpec extends SparkSpec {
         .count() === 0L, "idf of an every-doc term must be 0")
     } finally { out.unpersist(); () }
   }
+
+  test("q_dedup_substring: every banner doc is flagged; sampling is non-vacuous") {
+    val out = q("q_dedup_substring").cache()
+    try {
+      val banner = out.filter(col("doc_id") % 7 === 0)
+      assert(banner.count() > 1L, "need >1 banner doc for a cross-doc dup")
+      // the banner must actually contain a selected (md5-nibble-0)
+      // shingle — otherwise the whole query silently tests nothing
+      assert(banner.filter(col("has_dup") =!= 1).count() === 0L,
+        "a seeded banner doc was not flagged — banner no longer " +
+          "contains a winnowing-selected shingle")
+      // flag is derived, not independent
+      assert(out.filter((col("n_dup_sampled") > 0) =!=
+        (col("has_dup") === 1)).count() === 0L)
+      assert(out.filter(col("n_dup_sampled") > col("n_sampled")).count() === 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("winnowing selection is alignment-independent (same spans, shifted)") {
+    import spark.implicits._
+    // identical 96-char payload embedded at DIFFERENT offsets; a
+    // stride-based sampler would pick differently-aligned shingles and
+    // miss the match — content-defined selection must pick the SAME
+    // payload shingles in both docs
+    val payload = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen jackdaws inspect quartz obelisks"
+    val docs = Seq(
+      (1L, "XX" + payload + "tail one"),
+      (2L, "YYYYYYYYYYYYYYYYYYYSHIFT" + payload + "other suffix")).toDF("doc_id", "t")
+    val sampled = docs
+      .select(col("doc_id"), explode(expr("sequence(1, length(t) - 31)")).as("p"),
+        col("t"))
+      .select(col("doc_id"), expr("substring(t, p, 32)").as("sh"))
+      .filter(substring(md5(col("sh")), 1, 1) === "0")
+    val common = sampled.filter(col("doc_id") === 1L).select("sh")
+      .intersect(sampled.filter(col("doc_id") === 2L).select("sh"))
+    assert(common.count() >= 1L,
+      "no common sampled shingle across shifted copies — selection is " +
+        "not content-defined (or the 1/16 rate left the payload unsampled)")
+  }
+
+  test("q_bpe_learn matches hand-computed merges on a synthetic corpus") {
+    import spark.implicits._
+    // vocab: "aaa"×3, "bc"×2. Round 1: (a,a) count 6 (overlapping
+    // positions both count, Sennrich get_stats) → merge greedy
+    // left-to-right: aaa → [aa, a]. Round 2: (aa,a) count 3 — the
+    // merged token immediately participates as LEFT symbol. Round 3:
+    // only (b,c) remains.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "aaa bc bc", "en", "t", 9L), (2L, "aaa aaa", "en", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q_bpe_learn")(spark, tmp)
+      .orderBy("round_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "a", 3L), (3, "b", "c", 2L)))
+  }
+
+  test("q_join_full_outer keeps unmatched rows from BOTH sides") {
+    val out = q("q_join_full_outer").cache()
+    try {
+      val leftOnly = out.filter(col("n_big_orders").isNull).count()
+      val rightOnly = out.filter(col("acctbal_cents").isNull).count()
+      assert(leftOnly > 0L, "no left-only rows — fixture lost its negative-balance-only customers")
+      assert(rightOnly > 0L, "no right-only rows")
+      assert(out.filter(col("in_both") === 1)
+        .filter(col("acctbal_cents").isNull || col("n_big_orders").isNull)
+        .count() === 0L)
+      assert(out.select("c_custkey").distinct().count() === out.count(),
+        "full outer on pre-aggregated sides must emit one row per key")
+    } finally { out.unpersist(); () }
+  }
 }

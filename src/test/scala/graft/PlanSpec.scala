@@ -307,4 +307,19 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row stats scalar
   }
+
+  test("q_join_full_outer is an SMJ FullOuter — neither side broadcast") {
+    val plan = planString("q_join_full_outer")
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_dedup_substring: winnowing filter runs before the shingle shuffle") {
+    val plan = planString("q_dedup_substring")
+    // the 1/16 md5 selection must sit under the exchange: the filter
+    // appears in the plan, and no nested-loop/cartesian join sneaks in
+    assert(plan.contains("md5"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
