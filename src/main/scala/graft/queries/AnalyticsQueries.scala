@@ -804,9 +804,81 @@ object AnalyticsQueries {
       GROUP BY 1"""),
     "Range-clustered sorted layout: tight file envelopes, row-group-skipping read-back")
 
+  /** Per-group z-score anomaly detection — the standard data-quality
+    * screen (flag rows statistically far from their segment's mean)
+    * and a first-class curation op: outlier detection feeds both
+    * monitoring and training-data filtering. Population moments are
+    * computed from INTEGER cents (sum as long, sum-of-squares as
+    * DECIMAL(38,0) — exact, merge-order-independent; the q_stats_corr
+    * convention), converted to double exactly once for the σ division.
+    * Per-row z is rounded to integer bp before any aggregation.
+    *
+    * Scale: one combinable groupBy for moments (segment-sized result,
+    * broadcast back), one broadcast join to score rows, one
+    * combinable groupBy for the flags — two shuffles total, nothing
+    * driver-sized. */
+  val qAnomalyZscore = Q(
+    "q_anomaly_zscore",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val o = load(spark, dir, "orders")
+      val c = load(spark, dir, "customer")
+      val rows = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val st = rows.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum((col("cents") * col("cents")).cast(dec)).as("ssq"))
+        .filter(col("n") >= 2)
+      val nD = col("n").cast("double")
+      val meanD = col("s").cast("double") / nD
+      // population variance from exact integer sums: (n·ssq − s²)/n²
+      val varD = (nD * col("ssq").cast("double") -
+        col("s").cast("double") * col("s").cast("double")) / (nD * nD)
+      val stats = st.select(col("seg"), col("n"), col("s"),
+        meanD.as("mean"), sqrt(greatest(varD, lit(0.0))).as("sd"))
+      val z = rows.join(broadcast(stats), Seq("seg"))
+        .filter(col("sd") > 0)
+        .select(col("seg"), col("n"), col("s"),
+          round(lit(10000.0) * (col("cents") - col("mean")) / col("sd"))
+            .cast("long").as("z_bp"))
+      z.groupBy("seg")
+        .agg(max(col("n")).as("n_orders"),
+          expr("max(s) div max(n)").as("mean_cents"),
+          sum(when(col("z_bp") >= 20000, 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("z_bp") <= -20000, 1L).otherwise(0L)).as("n_lo"),
+          max(abs(col("z_bp"))).as("max_abs_z_bp"))
+    },
+    Some("""WITH rows0 AS (
+      SELECT c_mktsegment AS seg,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    st AS (
+      SELECT seg, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+        SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS ssq
+      FROM rows0 GROUP BY 1 HAVING COUNT(*) >= 2),
+    stats AS (
+      SELECT seg, n, s,
+        CAST(s AS DOUBLE) / n AS mean,
+        sqrt(GREATEST((n::DOUBLE * ssq::DOUBLE - s::DOUBLE * s::DOUBLE)
+          / (n::DOUBLE * n::DOUBLE), 0.0)) AS sd
+      FROM st),
+    z AS (
+      SELECT r.seg, stats.n, stats.s,
+        CAST(round(10000.0 * (r.cents - stats.mean) / stats.sd) AS BIGINT) AS z_bp
+      FROM rows0 r JOIN stats USING (seg) WHERE stats.sd > 0)
+    SELECT seg, MAX(n) AS n_orders, MAX(s) // MAX(n) AS mean_cents,
+      CAST(SUM(CASE WHEN z_bp >= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      CAST(SUM(CASE WHEN z_bp <= -20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      CAST(MAX(abs(z_bp)) AS BIGINT) AS max_abs_z_bp
+    FROM z GROUP BY seg"""),
+    "Per-segment z-score outlier screen: exact integer moments, bp-rounded z")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
     qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
-    qScd2Fold, qZorderCluster, qRangeLayout, qCmsHeavyHitters)
+    qScd2Fold, qZorderCluster, qRangeLayout, qCmsHeavyHitters,
+    qAnomalyZscore)
 }

@@ -1489,6 +1489,171 @@ object TextQueries {
         UNION ALL SELECT 3, a, b, n FROM win3)"""),
     "BPE merge learning: 3 Lloyd-shaped rounds, vocab-sized shuffles, k=1 driver rows")
 
+  /** Bigram-LM perplexity scoring — the classic model-based quality
+    * filter (a corpus-trained n-gram LM scores each document; docs the
+    * model finds "surprising" are boilerplate/garbage candidates).
+    * Here the LM is trained on the corpus itself in one pass: bigram
+    * counts c2(w1,w2), history counts c1(w1) (= bigram occurrences of
+    * w1 as history, so the add-one denominator is consistent), vocab
+    * size V over all tokens. p(w2|w1) = (c2+1)/(c1+V) — add-one
+    * smoothed; every observed bigram's negative log-likelihood is
+    * rounded to integer basis points BEFORE the per-doc sum, so the
+    * total is an order-independent integer and the oracle compare is
+    * exact (the BM25/tfidf convention).
+    *
+    * Scale: token explode is row-local; counts are two combinable
+    * groupBys (vocab-sized results); the scoring join keys on bigram —
+    * shuffle is corpus-token-sized once, never quadratic. V and the
+    * count tables are NOT broadcast (vocab grows with the corpus);
+    * only the single-row V count crosses to the driver. */
+  val qLmPerplexity = Q(
+    "q_lm_perplexity",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = d
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(w) - 1)")).as("i"), col("w"))
+        .select(col("doc_id"),
+          expr("element_at(w, i)").as("w1"),
+          expr("element_at(w, i + 1)").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = d.select(explode(col("w")).as("t")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val scored = bg
+        .join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(lit(-10000.0) *
+            log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+            .cast("long").as("nll_bp"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_bp")).as("nll_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_sum"),
+          expr("nll_sum div n_bigrams").as("avg_nll_bp"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    f AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+    ix AS (SELECT doc_id, w,
+      unnest(generate_series(1, len(w) - 1)) AS i FROM f),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT unnest.t) AS v FROM (
+      SELECT unnest(w) AS t FROM f) unnest),
+    sc AS (SELECT bg.doc_id,
+      CAST(round(-10000.0 * ln((c2.c2 + 1.0) / (c1.c1 + v.v))) AS BIGINT) AS nll_bp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(nll_bp) AS BIGINT) AS nll_sum,
+      CAST(SUM(nll_bp) AS BIGINT) // COUNT(*) AS avg_nll_bp
+    FROM sc GROUP BY doc_id"""),
+    "Bigram-LM perplexity quality filter: add-one smoothing, integer-bp NLL sums")
+
+  /** Asymmetric containment dedup — catches a document EMBEDDED in a
+    * larger one (quote farms, scraped excerpts), which symmetric
+    * Jaccard misses: a 100-word excerpt inside a 10k-word page has
+    * Jaccard ≈ 0.01 but containment = 1.0. C(A,B) = |sh(A) ∩ sh(B)|
+    * / |sh(A)| over the same df-capped hashed-shingle inverted index
+    * as [[ngramJaccardPairs]] (one index pass; pairs keyed by shared
+    * shingle; both directions of each unordered pair emitted, then
+    * thresholded on the CONTAINED side's set size).
+    *
+    * Self-contained fixture: every doc_id % 17 == 0 document also
+    * yields a synthetic "excerpt doc" (its first ⌈40%⌉ words, minimum
+    * 5) under the negative id -(doc_id+1) — a prefix excerpt's
+    * 3-shingles all occur in the source, so seeded containment is
+    * exactly 10000 bp unless df-capping removes a shared shingle
+    * globally (mirrored in the oracle either way; negative ids cannot
+    * collide with any scale factor's id space).
+    *
+    * Scale: identical to the Jaccard index — the explode is row-local,
+    * the df cap bounds every posting list, pair work is index-sized,
+    * and the per-doc set sizes join back broadcast. */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val DfCap = 1000
+      val d0 = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val excerpts = d0.filter(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          array_join(slice(words(col("text")), lit(1),
+            greatest(ceil(size(words(col("text"))) * 0.4), lit(5))
+              .cast("int")), " ").as("text"))
+      val d = d0.unionByName(excerpts)
+      val base = d.select(col("doc_id"),
+        shingleHashes(words(col("text"))).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = base.select(col("doc_id"), explode(col("hs")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("s")
+      val idx = ex.join(broadcast(hot), Seq("s"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nn = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = idx.select(col("doc_id").as("doc_a"), col("s"))
+      val b = idx.select(col("doc_id").as("doc_b"), col("s"))
+      val shared = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      // both directions: contained side is whichever doc we divide by
+      val both = shared.select(col("doc_a").as("doc_in"), col("doc_b").as("doc_of"),
+          col("shared"))
+        .unionByName(shared.select(col("doc_b").as("doc_in"),
+          col("doc_a").as("doc_of"), col("shared")))
+      both
+        .join(broadcast(nn.select(col("doc_id").as("doc_in"), col("n").as("n_in"))),
+          Seq("doc_in"))
+        .withColumn("cont_bp",
+          round(lit(10000.0) * col("shared") / col("n_in")).cast("long"))
+        .filter(col("cont_bp") >= 8000)
+        .select("doc_in", "doc_of", "shared", "n_in", "cont_bp")
+    },
+    Some("""WITH raw AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+        array_to_string(w[1:GREATEST(CAST(ceil(len(w) * 0.4) AS BIGINT), 5)], ' ') AS text
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents WHERE doc_id % 17 = 0)),
+    d AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3
+          THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+          ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM raw)),
+    e0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+    e AS (SELECT doc_id,
+      CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s FROM e0),
+    idx AS (SELECT doc_id, s FROM e
+      WHERE s NOT IN (SELECT s FROM e GROUP BY s HAVING COUNT(*) > 1000)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dirs AS (
+      SELECT doc_a AS doc_in, doc_b AS doc_of, shared FROM p
+      UNION ALL
+      SELECT doc_b AS doc_in, doc_a AS doc_of, shared FROM p)
+    SELECT doc_in, doc_of, shared, nn.n AS n_in,
+      CAST(round(10000.0 * shared / nn.n) AS BIGINT) AS cont_bp
+    FROM dirs JOIN nn ON dirs.doc_in = nn.doc_id
+    WHERE CAST(round(10000.0 * shared / nn.n) AS BIGINT) >= 8000"""),
+    "Containment dedup: directional |A∩B|/|A| over the df-capped shingle index")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -1496,5 +1661,5 @@ object TextQueries {
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
-    qDedupSubstring, qBpeLearn)
+    qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment)
 }

@@ -509,7 +509,107 @@ object VectorQueries {
     SELECT b_id AS vec_id, a_id AS canonical_id, cos_bp FROM r WHERE rn = 1"""),
     "SemDeDup: k-means-clustered embedding space, within-cluster cosine dedup")
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of a lexical ranking and a vector ranking, the standard RAG
+    * retrieval shape. Queries are the docs with vec_id % 50 == 0
+    * (doc_id aligns with vec_id in the fixture):
+    *   - lexical: candidates ranked per query by shared distinct-word
+    *     count over a df-capped (≤ 50) inverted index — the same
+    *     bounded-posting-list shape as the n-gram dedup family, so
+    *     pair work never goes quadratic on stopwords;
+    *   - vector: exact cosine rank over the broadcast query set (the
+    *     q_ann_cosine_topk shape; swap in the IVF/LSH variant at
+    *     corpus scale).
+    * Fusion: RRF_ppm = Σ 1_000_000 div (60 + rank) over the systems
+    * that returned the doc (k=60 per the paper) — integer arithmetic,
+    * so fused scores compare exactly cross-engine. Top-10 per query.
+    *
+    * Scale: the index join shuffles on term with bounded lists; the
+    * cosine side broadcasts only the query rows; fusion is a
+    * candidate-sized groupBy. Nothing corpus-sized is collected. */
+  val qRrfHybrid = Q(
+    "q_rrf_hybrid",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import graft.ops.TextOps.words
+      val DfCap = 50
+      val TopN = 20
+      // lexical side: df-capped distinct-word inverted index
+      val toks = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = toks.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("term")
+      val idx = toks.join(broadcast(hot), Seq("term"), "left_anti")
+      val qToks = idx.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val overlap = idx.join(qToks, Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("overlap"))
+      val wLex = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("overlap").desc, col("doc_id").asc)
+      val lex = overlap.withColumn("rank", row_number().over(wLex))
+        .filter(col("rank") <= TopN).select("q_id", "doc_id", "rank")
+      // vector side: exact cosine top-N per broadcast query
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"), col("vn"))
+      val qv = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("vn").as("qn"))
+      val wVec = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val vec = e.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotNative(col("qn"), col("vn")))
+        .withColumn("rank", row_number().over(wVec))
+        .filter(col("rank") <= TopN)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      // reciprocal-rank fusion, integer ppm
+      val fused = lex.unionByName(vec)
+        .select(col("q_id"), col("doc_id"),
+          expr("1000000 div (60 + rank)").as("rrf"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("rrf")).as("rrf_ppm"), count(lit(1)).as("n_systems"))
+      val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      fused.withColumn("fused_rank", row_number().over(wF))
+        .filter(col("fused_rank") <= 10)
+        .select(col("q_id"), col("fused_rank").cast("int").as("fused_rank"),
+          col("doc_id"), col("rrf_ppm"), col("n_systems"))
+    },
+    Some(s"""WITH $sqlNormalizedCte,
+    toks AS (SELECT doc_id,
+        unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS term
+      FROM documents),
+    idx AS (SELECT doc_id, term FROM toks
+      WHERE term NOT IN (SELECT term FROM toks GROUP BY term HAVING COUNT(*) > 50)),
+    qt AS (SELECT doc_id AS q_id, term FROM idx WHERE doc_id % 50 = 0),
+    ov AS (SELECT qt.q_id, idx.doc_id, COUNT(*) AS overlap
+      FROM idx JOIN qt USING (term) WHERE idx.doc_id != qt.q_id GROUP BY 1, 2),
+    lex AS (SELECT q_id, doc_id, rank FROM (
+      SELECT q_id, doc_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id ASC) AS rank
+      FROM ov) WHERE rank <= 20),
+    qv AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0),
+    cs AS (SELECT qv.q_id, n.vec_id AS doc_id, ${sqlDot("qn", "vn")} AS cos
+      FROM n JOIN qv ON n.vec_id != qv.q_id),
+    vec AS (SELECT q_id, doc_id, rank FROM (
+      SELECT q_id, doc_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS rank
+      FROM cs) WHERE rank <= 20),
+    u AS (SELECT q_id, doc_id, 1000000 // (60 + rank) AS rrf FROM lex
+      UNION ALL
+      SELECT q_id, doc_id, 1000000 // (60 + rank) AS rrf FROM vec),
+    fused AS (SELECT q_id, doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_ppm,
+        COUNT(*) AS n_systems
+      FROM u GROUP BY 1, 2)
+    SELECT q_id, CAST(fused_rank AS INTEGER) AS fused_rank, doc_id, rrf_ppm,
+      n_systems FROM (
+      SELECT q_id, doc_id, rrf_ppm, n_systems,
+        row_number() OVER (PARTITION BY q_id ORDER BY rrf_ppm DESC, doc_id ASC) AS fused_rank
+      FROM fused) WHERE fused_rank <= 10"""),
+    "Hybrid retrieval: RRF fusion of df-capped lexical rank + cosine rank")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
-    qSemanticDedup)
+    qSemanticDedup, qRrfHybrid)
 }

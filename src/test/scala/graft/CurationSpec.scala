@@ -305,4 +305,62 @@ class CurationSpec extends SparkSpec {
         "full outer on pre-aggregated sides must emit one row per key")
     } finally { out.unpersist(); () }
   }
+
+  test("q_dedup_containment: every seeded excerpt is caught at full containment") {
+    val out = q("q_dedup_containment").persist()
+    try {
+      import spark.implicits._
+      // seeded excerpt ids are -(doc_id+1) for doc_id % 17 == 0
+      val nSeeds = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 17 === 0).count()
+      assert(nSeeds > 0, "fixture must have seeds")
+      val caught = out.filter(col("doc_in") < 0)
+        .select(col("doc_in"), col("doc_of"), col("cont_bp"))
+        .as[(Long, Long, Long)].collect()
+      // each excerpt must be contained in its own source at exactly
+      // 10000 bp (a prefix's 3-shingles all occur in the source, and
+      // df-capping removes shingles globally, never one-sided)
+      val bySource = caught.filter { case (in, of, _) => -in - 1 == of }
+      assert(bySource.length == nSeeds,
+        s"expected $nSeeds seeded pairs, caught ${bySource.length}")
+      assert(bySource.forall(_._3 == 10000L),
+        s"seeded prefix containment must be exactly 10000 bp: ${bySource.toSeq}")
+      // directionality: no source is flagged as contained in its excerpt
+      assert(!caught.exists { case (in, of, _) => in >= 0 && of < 0 },
+        "containment must be asymmetric: the big doc is never inside its excerpt")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_pagerank: ranks bounded below by the base mass; handoff graph is non-trivial") {
+    val out = q("q_pagerank").persist()
+    try {
+      import spark.implicits._
+      val rows = out.as[(Long, Long)].collect()
+      // top-20, capped by the node count (sf0.001 has only 15 users)
+      assert(rows.nonEmpty && rows.length <= 20)
+      // every node keeps at least the undamped base mass
+      assert(rows.forall(_._2 >= 150000L), rows.toSeq.toString)
+      // the top node must have actually accumulated inbound mass
+      assert(rows.map(_._2).max > 150000L, "graph must not be edgeless")
+      // output is the global top-20: descending, ties by node asc
+      val sorted = rows.sortBy(r => (-r._2, r._1)).toSeq
+      assert(rows.toSeq == sorted, "top-20 ordering must be deterministic")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_lm_perplexity: repeated text scores below novel text; totals consistent") {
+    import spark.implicits._
+    val out = q("q_lm_perplexity").persist()
+    try {
+      val rows = out.select("n_bigrams", "nll_sum", "avg_nll_bp")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      // integral-division consistency of the reported average
+      assert(rows.forall { case (n, s, a) => a == s / n })
+      // a corpus-trained LM must find SOME spread (else the score is
+      // vacuous as a filter signal)
+      val avgs = rows.map(_._3)
+      assert(avgs.max > avgs.min, "perplexity signal must discriminate")
+    } finally { out.unpersist(); () }
+  }
 }

@@ -322,4 +322,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_pagerank: no cartesian/nested-loop; rank updates are hash aggregates") {
+    val plan = planString("q_pagerank")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // per-round inbound sums must partial-aggregate map-side
+    assert(plan.contains("HashAggregate"), plan)
+    // final top-20 fuses into TakeOrderedAndProject
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_rrf_hybrid: query sides broadcast; rank filters push to WindowGroupLimit") {
+    val plan = planString("q_rrf_hybrid")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_lm_perplexity: count joins hash-join on bigram, never cartesian") {
+    val plan = planString("q_lm_perplexity")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop allowed is the 1-row vocab-size scalar cross
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q_anomaly_zscore: segment stats broadcast back to the row scan") {
+    val plan = planString("q_anomaly_zscore")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
