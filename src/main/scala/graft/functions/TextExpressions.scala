@@ -207,9 +207,45 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** nfc(s) → Unicode NFC normalization of s — the canonical first
+    * step of text cleaning (decomposed accents, compatibility forms
+    * from different scrapers collapse to one byte sequence, so exact
+    * dedup/fingerprints stop treating 'café' and 'cafe'+U+0301 as
+    * different documents). Wraps `java.text.Normalizer` (ICU-free,
+    * ships with the JDK) as a codegen'd expression: the generated code
+    * calls the same static kernel eval uses, so interpreted and
+    * compiled paths are one implementation. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${dt.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override protected def nullSafeEval(input: Any): Any =
+      nfcKernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TextExpressions.nfcKernel($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // static entry points for the generated code (fixed signatures)
   def shingleHashesModP(a: ArrayData): ArrayData = shingleHashKernel(a, modP = true)
   def wordHashes60(a: ArrayData): ArrayData = wordHashKernel(a, modP = false)
+  def nfcKernel(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is O(n) with no allocation,
+    // and virtually all real corpus text is already NFC
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 
   /** Idempotent session-level registration (same pattern as
     * [[VectorExpressions.register]]). */
@@ -230,5 +266,6 @@ object TextExpressions {
     reg1("graft_minhash", MinHashSignature)
     reg1("graft_shingle_hashes", ShingleHashes)
     reg1("graft_word_hashes60", WordHashes60)
+    reg1("graft_nfc", NfcNormalize)
   }
 }

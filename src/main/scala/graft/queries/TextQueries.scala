@@ -1558,6 +1558,50 @@ object TextQueries {
     FROM sc GROUP BY doc_id"""),
     "Bigram-LM perplexity quality filter: add-one smoothing, integer-bp NLL sums")
 
+  /** Unicode NFC normalization — the canonical first text-cleaning
+    * step: scrapers emit the same glyph as composed (U+00E9) or
+    * decomposed (e + U+0301) sequences, and every byte-exact stage
+    * downstream (md5 fingerprints, exact dedup, line dedup) treats
+    * them as different documents unless normalized first. The kernel
+    * is the native codegen'd [[graft.functions.TextExpressions.NfcNormalize]]
+    * (JDK `java.text.Normalizer`, O(n) already-normalized fast path);
+    * DuckDB's `nfc_normalize` is the cross-engine oracle — two
+    * independent Unicode implementations agreeing on the result.
+    *
+    * Fixture text is ASCII (already NFC), so docs with doc_id%5==0 get
+    * a decomposed suffix appended; those must compose (2 code points
+    * shorter) and everything else must pass through byte-identical.
+    * Row-local, shuffle-free — the scale story is trivially linear. */
+  val qTextNormalize = Q(
+    "q_text_normalize",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val seeded = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), // DECOMPOSED on purpose (explicit combining marks, so no
+            // editor/tool can silently re-compose the source literal):
+            // NFC must compose these; the oracle seeds the same points
+            lit(" cafe\u0301 nai\u0308ve")))
+            .otherwise(col("text")).as("t"))
+      // stacked projection: nfc computed ONCE, not inlined per consumer
+      val n = seeded.select(col("doc_id"), col("t"),
+        call_function("graft_nfc", col("t")).as("nt"))
+      n.select(col("doc_id"),
+        length(col("t")).as("n_cp_raw"),
+        length(col("nt")).as("n_cp_nfc"),
+        (length(col("t")) - length(col("nt"))).as("n_composed"),
+        md5(col("nt")).as("fp_nfc"))
+    },
+    Some("""WITH s AS (SELECT doc_id,
+      CASE WHEN doc_id % 5 = 0
+        THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        ELSE text END AS t FROM documents),
+    n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM s)
+    SELECT doc_id, length(t) AS n_cp_raw, length(nt) AS n_cp_nfc,
+      length(t) - length(nt) AS n_composed, md5(nt) AS fp_nfc FROM n"""),
+    "Unicode NFC normalization: native JDK kernel vs DuckDB's independent impl")
+
   /** Asymmetric containment dedup — catches a document EMBEDDED in a
     * larger one (quote farms, scraped excerpts), which symmetric
     * Jaccard misses: a 100-word excerpt inside a 10k-word page has
@@ -1661,5 +1705,6 @@ object TextQueries {
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
-    qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment)
+    qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment,
+    qTextNormalize)
 }

@@ -348,6 +348,27 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("graft_nfc: composes decomposed marks, idempotent, ASCII pass-through, null-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // e + combining acute -> e-acute
+      ("nai\u0308ve", "na\u00efve"), // i + combining diaeresis -> i-uml
+      ("caf\u00e9", "caf\u00e9"),    // already composed: unchanged
+      ("plain ascii 123", "plain ascii 123"),
+      ("", ""))
+    val out = rows.toDF("s", "expect")
+      .selectExpr("graft_nfc(s) AS got", "expect",
+        "graft_nfc(graft_nfc(s)) AS twice")
+      .as[(String, String, String)].collect()
+    out.foreach { case (got, expect, twice) =>
+      assert(got == expect, s"nfc('$got') != '$expect'")
+      assert(twice == got, "nfc must be idempotent")
+    }
+    val n = Seq(Option.empty[String]).toDF("s")
+      .selectExpr("graft_nfc(s) AS got").collect()
+    assert(n.head.isNullAt(0), "null in → null out")
+  }
+
   test("q_lm_perplexity: repeated text scores below novel text; totals consistent") {
     import spark.implicits._
     val out = q("q_lm_perplexity").persist()
