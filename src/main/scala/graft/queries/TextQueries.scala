@@ -620,6 +620,56 @@ object TextQueries {
     WHERE bucket < CASE WHEN lang = 'en' THEN 2000 ELSE 6000 END"""),
     "Stratified sampling: deterministic hash buckets, per-stratum rates")
 
+  /** WEIGHTED sampling without replacement — Efraimidis–Spirakis
+    * (2006): each item draws u ~ U(0,1) and gets key = -ln(u)/w; the
+    * k smallest keys per stratum are a weight-proportional sample
+    * without replacement. The Bernoulli samplers above can't express
+    * "prefer higher-quality docs but keep exactly k per source"; this
+    * is that op (weights here = n_chars — longer docs preferred).
+    *
+    * Determinism: u is content-addressed (md5 of a salted doc id →
+    * (h%1e6 + 0.5)/1e6, never 0 or 1); the key is rounded to an
+    * INTEGER e12 scale BEFORE ranking with a doc_id tiebreak (the
+    * tfidf round-then-rank convention — a libm last-ulp difference
+    * between engines can shift a key by 1e-16 relative, which the
+    * rounding absorbs and the tiebreak disambiguates).
+    *
+    * Scale: key derivation is row-local; the only shuffle is the
+    * per-source top-k window, which WindowGroupLimit bounds to k rows
+    * per partition map-side. At extreme stratum skew, swap the window
+    * for the mergeable TopKAgg (same result, no sort). */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val h = pmod(conv(substring(md5(concat(lit("wsmpl:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(2147483647L))
+      val u = ((h % 1000000L).cast("double") + lit(0.5)) / lit(1000000.0)
+      val keyed = d.select(col("doc_id"), col("source"),
+        col("n_chars").as("w"),
+        round(lit(1.0e12) * -log(u) / col("n_chars")).cast("long").as("key_e12"))
+      val win = Window.partitionBy(col("source"))
+        .orderBy(col("key_e12").asc, col("doc_id").asc)
+      keyed.withColumn("pick", row_number().over(win))
+        .filter(col("pick") <= 10)
+        .select(col("source"), col("pick").cast("int").as("pick"),
+          col("doc_id"), col("w"), col("key_e12"))
+    },
+    Some("""WITH h AS (
+      SELECT doc_id, source, n_chars AS w,
+        ((CAST(('0x'||substr(md5('wsmpl:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+          % 2147483647) % 1000000 + 0.5) / 1000000.0 AS u
+      FROM documents),
+    k AS (SELECT doc_id, source, w,
+      CAST(round(1.0e12 * -ln(u) / w) AS BIGINT) AS key_e12 FROM h)
+    SELECT source, CAST(pick AS INTEGER) AS pick, doc_id, w, key_e12 FROM (
+      SELECT source, doc_id, w, key_e12,
+        row_number() OVER (PARTITION BY source ORDER BY key_e12 ASC, doc_id ASC) AS pick
+      FROM k) WHERE pick <= 10"""),
+    "Weighted sampling w/o replacement: Efraimidis-Spirakis keys, round-then-rank")
+
   /** PII scrubbing — redact structured identifiers before training.
     * The synthetic corpus carries no PII, so a deterministic slice is
     * SEEDED first (doc_id%5 gains an email, doc_id%7 a phone number —
@@ -1706,5 +1756,5 @@ object TextQueries {
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment,
-    qTextNormalize)
+    qTextNormalize, qSampleWeighted)
 }

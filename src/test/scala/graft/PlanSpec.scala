@@ -349,6 +349,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q_sample_weighted: per-source top-k bounded map-side by WindowGroupLimit") {
+    val plan = planString("q_sample_weighted")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_anomaly_zscore: segment stats broadcast back to the row scan") {
     val plan = planString("q_anomaly_zscore")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
