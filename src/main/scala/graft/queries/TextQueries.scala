@@ -1575,8 +1575,12 @@ object TextQueries {
       val v = d.select(explode(col("w")).as("t")).distinct()
         .agg(count(lit(1)).as("v"))
       val scored = bg
-        .join(c2, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
+        // shuffle_hash: the probe side is every corpus bigram — an SMJ
+        // would sort it (measured at sf10: a spilling external sort);
+        // hashing the vocab-sized count tables leaves the big side
+        // unsorted, one pass
+        .join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
+        .join(c1.hint("shuffle_hash"), Seq("w1"))
         .crossJoin(broadcast(v))
         .select(col("doc_id"),
           round(lit(-10000.0) *

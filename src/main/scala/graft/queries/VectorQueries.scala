@@ -29,14 +29,24 @@ object VectorQueries {
 
   /** Brute-force cosine top-k (the exact baseline an ANN variant is
     * judged against). Scale: the query set is broadcast; the corpus is
-    * scanned once, top-k per query via window over (query, cos). */
+    * scanned once, top-k per query via window over (query, cos).
+    *
+    * The query set is FIXED-SIZE (≤ 500: `% 50` spacing capped to the
+    * id range < 25000) — a retrieval workload does not grow with the
+    * corpus. The cap is load-bearing: an uncapped `% 50` set is 2% OF
+    * THE CORPUS, making the baseline O(N²/50) — measured at sf10
+    * (500k vectors × 10k queries = 5·10⁹ candidate rows) the rank
+    * window became a multi-hour spilling sort. With the cap the scan
+    * is O(N·500): linear in the corpus, parallel over its partitions.
+    * All fixture ids at the driver's gate scales are < 25000, so
+    * results there are unchanged. */
   val qAnnCosineTopk = Q(
     "q_ann_cosine_topk",
     (spark, dir) => {
       Tables.ensureConf(spark)
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
         .select(col("vec_id").as("q_id"), col("vn").as("qn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -47,7 +57,7 @@ object VectorQueries {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
     },
     Some(s"""WITH $sqlNormalizedCte,
-    q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 25000),
     c AS (
       SELECT q.q_id, n.vec_id, ${sqlDot("qn", "vn")} AS cos
       FROM n JOIN q ON n.vec_id != q.q_id)
@@ -139,7 +149,7 @@ object VectorQueries {
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
         .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
         .select(col("vec_id").as("q_id"), col("vn").as("qn"), col("bucket"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -162,7 +172,7 @@ object VectorQueries {
           ELSE 0 END) AS BIGINT) AS bucket
       FROM pp GROUP BY vec_id),
     nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
-    q AS (SELECT vec_id AS q_id, vn AS qn, bucket FROM nb WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS q_id, vn AS qn, bucket FROM nb WHERE vec_id % 50 = 0 AND vec_id < 25000),
     c AS (
       SELECT q.q_id, nb.vec_id, ${sqlDot("qn", "vn")} AS cos
       FROM nb JOIN q USING (bucket) WHERE nb.vec_id != q.q_id)
@@ -420,7 +430,7 @@ object VectorQueries {
       // bit-identical to the oracle's t_m CTE and to the unrolled
       // column form this replaces); scoring is M codegen'd
       // element_at lookups instead of an M·k-way when-chain
-      val qt = base.filter(col("vec_id") % 50 === 0)
+      val qt = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
         .select(col("vec_id").as("q_id"),
           call_function("graft_pq_adc_table", col("vn"),
             typedLit(cents.map(_.map(_.c.toSeq)))).as("adc"))
@@ -454,7 +464,7 @@ object VectorQueries {
       }.mkString(" ")
       s"""WITH $sqlNormalizedCte,
     ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")},
-    qs AS (SELECT vec_id AS q_id, vn FROM n WHERE vec_id % 50 = 0),
+    qs AS (SELECT vec_id AS q_id, vn FROM n WHERE vec_id % 50 = 0 AND vec_id < 25000),
     $tCtes,
     codes AS (SELECT a2_0.vec_id, $codeSel FROM a2_0 $codeJoins),
     adc AS (SELECT t_0.q_id, codes.vec_id, $simSum AS sim
@@ -523,6 +533,9 @@ object VectorQueries {
     * Fusion: RRF_ppm = Σ 1_000_000 div (60 + rank) over the systems
     * that returned the doc (k=60 per the paper) — integer arithmetic,
     * so fused scores compare exactly cross-engine. Top-10 per query.
+    * The query set is fixed-size (≤ 500, same cap + rationale as
+    * q_ann_cosine_topk): retrieval workloads don't scale with the
+    * corpus, and capping keeps both sides linear in N.
     *
     * Scale: the index join shuffles on term with bounded lists; the
     * cosine side broadcasts only the query rows; fusion is a
@@ -541,7 +554,7 @@ object VectorQueries {
       val hot = toks.groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select("term")
       val idx = toks.join(broadcast(hot), Seq("term"), "left_anti")
-      val qToks = idx.filter(col("doc_id") % 50 === 0)
+      val qToks = idx.filter(col("doc_id") % 50 === 0 && col("doc_id") < 25000)
         .select(col("doc_id").as("q_id"), col("term"))
       val overlap = idx.join(qToks, Seq("term"))
         .filter(col("doc_id") =!= col("q_id"))
@@ -554,7 +567,7 @@ object VectorQueries {
       // vector side: exact cosine top-N per broadcast query
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-      val qv = e.filter(col("vec_id") % 50 === 0)
+      val qv = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
         .select(col("vec_id").as("q_id"), col("vn").as("qn"))
       val wVec = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -582,14 +595,14 @@ object VectorQueries {
       FROM documents),
     idx AS (SELECT doc_id, term FROM toks
       WHERE term NOT IN (SELECT term FROM toks GROUP BY term HAVING COUNT(*) > 50)),
-    qt AS (SELECT doc_id AS q_id, term FROM idx WHERE doc_id % 50 = 0),
+    qt AS (SELECT doc_id AS q_id, term FROM idx WHERE doc_id % 50 = 0 AND doc_id < 25000),
     ov AS (SELECT qt.q_id, idx.doc_id, COUNT(*) AS overlap
       FROM idx JOIN qt USING (term) WHERE idx.doc_id != qt.q_id GROUP BY 1, 2),
     lex AS (SELECT q_id, doc_id, rank FROM (
       SELECT q_id, doc_id,
         row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id ASC) AS rank
       FROM ov) WHERE rank <= 20),
-    qv AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0),
+    qv AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 25000),
     cs AS (SELECT qv.q_id, n.vec_id AS doc_id, ${sqlDot("qn", "vn")} AS cos
       FROM n JOIN qv ON n.vec_id != qv.q_id),
     vec AS (SELECT q_id, doc_id, rank FROM (

@@ -349,6 +349,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("ANN/RRF query sets are fixed-size: the id cap reaches the scan") {
+    // the < 25000 cap keeps |Q| ≤ 500 at every corpus scale; without it
+    // the %50 set is 2% OF THE CORPUS and brute force goes O(N²/50)
+    // (measured at sf10: a 5e9-row spilling rank sort). The filter must
+    // be pushed into the parquet scan, not applied post-join.
+    Seq("q_ann_cosine_topk", "q_ann_ivf_topk", "q_rrf_hybrid").foreach { n =>
+      val pushed = scans(n).flatMap(_.metadata.get("PushedFilters"))
+      assert(pushed.exists(_.contains("25000")),
+        s"$n query-set cap not pushed to a scan: $pushed")
+    }
+  }
+
   test("q_sample_weighted: per-source top-k bounded map-side by WindowGroupLimit") {
     val plan = planString("q_sample_weighted")
     assert(plan.contains("WindowGroupLimit"), plan)
