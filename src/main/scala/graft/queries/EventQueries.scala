@@ -321,7 +321,69 @@ object EventQueries {
     GROUP BY 1, 2"""),
     "Range/interval join via day-bucket decomposition (equi-join + post-filter)")
 
+  /** Marketing attribution: every purchase credited to the FIRST and
+    * LAST marketing touch (click/view) in its trailing 7-day window.
+    * Touch identity rides a fixed-width sortable pack string
+    * (zero-padded epoch ‖ type ‖ zero-padded event_id) so min/max over
+    * the RANGE frame pick a fully-deterministic argmin/argmax — no
+    * min_by tie ambiguity, and both engines order the same bytes. The
+    * CASE-null trick keeps non-touch rows out of the min/max/count
+    * without a second pass; one shuffle on user_id serves all three.
+    * The 12-digit id pad holds to ~1e12 events (≫ 100 TB of events);
+    * same RANGE-frame convention as q_events_rolling. */
+  val qAttribution = Q(
+    "q_attribution",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import org.apache.spark.sql.expressions.Window
+      val e = load(spark, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      val pack = concat_ws(":",
+        lpad(col("sec").cast("string"), 10, "0"),
+        col("event_type"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      val touch = when(col("event_type").isin("click", "view"), pack)
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-604799, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
+        min(touch).over(w).as("first_touch"),
+        max(touch).over(w).as("last_touch"),
+        count(touch).over(w).as("n_touches"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("n_touches"),
+          split(col("first_touch"), ":").getItem(1).as("first_touch_type"),
+          split(col("last_touch"), ":").getItem(1).as("last_touch_type"),
+          (col("sec") - split(col("first_touch"), ":").getItem(0).cast("long"))
+            .as("secs_to_convert"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 10, '0')
+          || ':' || event_type || ':'
+          || lpad(CAST(event_id AS VARCHAR), 12, '0') AS pack
+      FROM events),
+    wins AS (
+      SELECT user_id, event_id, event_type, sec,
+        MIN(CASE WHEN event_type IN ('click','view') THEN pack END) OVER w
+          AS first_touch,
+        MAX(CASE WHEN event_type IN ('click','view') THEN pack END) OVER w
+          AS last_touch,
+        COUNT(CASE WHEN event_type IN ('click','view') THEN pack END) OVER w
+          AS n_touches
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, n_touches,
+      string_split(first_touch, ':')[2] AS first_touch_type,
+      string_split(last_touch, ':')[2] AS last_touch_type,
+      sec - CAST(string_split(first_touch, ':')[1] AS BIGINT)
+        AS secs_to_convert
+    FROM wins WHERE event_type = 'purchase'"""),
+    "First/last-touch attribution over a trailing RANGE window, pack-string argmin")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
     qMultimodalAudio, qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling,
-    qEventsFunnel, qEventsSliding, qJoinRange)
+    qEventsFunnel, qEventsSliding, qJoinRange, qAttribution)
 }

@@ -1752,6 +1752,66 @@ object TextQueries {
     WHERE CAST(round(10000.0 * shared / nn.n) AS BIGINT) >= 8000"""),
     "Containment dedup: directional |A∩B|/|A| over the df-capped shingle index")
 
+  /** PMI collocations — statistically-bound word pairs ("new york",
+    * "machine learning") ranked by pointwise mutual information over
+    * the bigram event space. ALL-INTEGER: PMI = ln(c12·N / (c1·c2)) is
+    * monotone in the rational c12·N/(c1·c2), so we rank by that ratio
+    * in exact integer ppm (DECIMAL(38,0) cross-multiplication; Spark
+    * and DuckDB floor identically on positives) and never evaluate a
+    * logarithm — no libm last-ulp taste can flip a rank. Bigrams are
+    * built row-local (arrays_zip shape via element_at, no join);
+    * unigram-position counts c1/c2 DERIVE from the c12 table (sum by
+    * first/second word), so the corpus shuffles ONCE into c12 and the
+    * rest is vocabulary-sized. The c12 ≥ 5 floor is standard
+    * collocation practice AND the overflow guard: with it,
+    * ratio·1e6 ≤ N/5·1e6 stays in BIGINT up to N ≈ 4.6e13 bigrams
+    * (~100 TB of text); the DECIMAL(38,0) numerator has headroom to
+    * N ≈ 1e15. Top-20 fuses into TakeOrderedAndProject. */
+  val qCollocations = Q(
+    "q_collocations",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = words(col("text"))
+      val bi = Tables.load(spark, dir, "documents")
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"),
+              element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val nb = c12.agg(sum(col("c12")).as("nb"))
+      c12.filter(col("c12") >= 5)
+        .join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("CAST((CAST(c12 AS DECIMAL(38,0)) * nb * 1000000)" +
+            " DIV (c1 * c2) AS BIGINT)").as("pmi_ratio_ppm"))
+        .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH d AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    ix AS (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+      FROM d WHERE len(w) >= 2),
+    bi AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM ix),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    c2t AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+    nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c12)
+    SELECT w1, w2, c12,
+      CAST((CAST(c12 AS HUGEINT) * nb * 1000000)
+        // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS pmi_ratio_ppm
+    FROM c12 JOIN c1 USING (w1) JOIN c2t USING (w2), nb
+    WHERE c12 >= 5
+    ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 20"""),
+    "PMI collocations: integer cross-multiplied ratio rank, one corpus shuffle")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -1760,5 +1820,5 @@ object TextQueries {
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment,
-    qTextNormalize, qSampleWeighted)
+    qTextNormalize, qSampleWeighted, qCollocations)
 }

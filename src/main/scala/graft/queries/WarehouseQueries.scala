@@ -117,7 +117,9 @@ object WarehouseQueries {
     * Scale: the three row-local checks share ONE scan (conditional
     * sums in a single aggregate, unpivoted via stack); uniqueness is
     * count − distinct-count (combinable, never a per-key window); RI
-    * is an id-only anti join. */
+    * is an id-only anti join. The orphan remap is
+    * -key-1, not -key: key 0 is a fixed point of negation and exists
+    * in the fixture, so plain negation under-seeds. */
   val qDqAudit = Q(
     "q_dq_audit",
     (spark, dir) => {
@@ -147,7 +149,7 @@ object WarehouseQueries {
           AS (table_name, check_name, violations, checked_rows)""")
       val li = load(spark, dir, "lineitem")
         .withColumn("l_orderkey",
-          when(pmod(col("l_orderkey"), lit(971)) === 0, -col("l_orderkey"))
+          when(pmod(col("l_orderkey"), lit(971)) === 0, -col("l_orderkey") - 1)
             .otherwise(col("l_orderkey")))
       val nLi = li.agg(count(lit(1)).as("checked_rows"))
       val orphans = li.select("l_orderkey")
@@ -175,7 +177,7 @@ object WarehouseQueries {
           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v3,
           COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nk
         FROM corrupted),
-      li AS (SELECT CASE WHEN l_orderkey % 971 = 0 THEN -l_orderkey
+      li AS (SELECT CASE WHEN l_orderkey % 971 = 0 THEN -l_orderkey - 1
           ELSE l_orderkey END AS l_orderkey FROM lineitem),
       rows_out AS (
         SELECT 'orders' AS table_name, 'not_null_custkey' AS check_name,
@@ -191,7 +193,7 @@ object WarehouseQueries {
         CAST(violations = 0 AS INTEGER) AS pass FROM rows_out"""),
     "Data-quality audit: null/domain/range/unique/RI checks, seeded violations")
 
-  /** Schema-evolution scan: batch 1 was written before the channel
+  /** Schema-evolution scan: batch 1 (years < 1998; the fixture spans 1995-2001) was written before the channel
     * column existed; batch 2 carries it. `mergeSchema` unions the
     * per-file parquet schemas so old files surface NULL for the new
     * column — the accrete-columns-over-time reality of any corpus that
@@ -210,10 +212,10 @@ object WarehouseQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val orders = load(spark, dir, "orders")
-      orders.filter(year(col("o_orderdate")) < 1995)
+      orders.filter(year(col("o_orderdate")) < 1998)
         .select(col("o_orderkey"), cents("o_totalprice").as("price_cents"))
         .write.mode("overwrite").parquet(s"$schemaEvoPath/batch=1")
-      orders.filter(year(col("o_orderdate")) >= 1995)
+      orders.filter(year(col("o_orderdate")) >= 1998)
         .select(col("o_orderkey"), cents("o_totalprice").as("price_cents"),
           when(pmod(col("o_orderkey"), lit(3)) === 0, "web")
             .when(pmod(col("o_orderkey"), lit(3)) === 1, "store")

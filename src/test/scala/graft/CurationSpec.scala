@@ -384,4 +384,71 @@ class CurationSpec extends SparkSpec {
       assert(avgs.max > avgs.min, "perplexity signal must discriminate")
     } finally { out.unpersist(); () }
   }
+
+  test("q_dq_audit: every seeded check fires; RI orphans match the seed slice") {
+    import spark.implicits._
+    val rows = q("q_dq_audit")
+      .select("check_name", "violations", "pass")
+      .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // an audit that has only ever seen clean data is untested — all five
+    // seeded corruptions must be caught, and pass must reflect it
+    rows.foreach { case (chk, (v, p)) =>
+      assert(v > 0, s"$chk found no violations — seed not firing")
+      assert(p == 0, s"$chk pass flag inconsistent with $v violations")
+    }
+    // orphan count == the exact seeded slice (negated keys can never match)
+    val li = Tables.load(spark, dir, "lineitem")
+    val seeded = li.filter(pmod(col("l_orderkey"), lit(971)) === 0).count()
+    assert(rows("ri_orderkey")._1 == seeded)
+  }
+
+  test("q_attribution: touch ordering and window bounds hold") {
+    import spark.implicits._
+    val rows = q("q_attribution")
+      .select("n_touches", "first_touch_type", "last_touch_type",
+        "secs_to_convert")
+      .as[(Long, Option[String], Option[String], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._1 > 0), "no purchase had any touches — vacuous")
+    rows.foreach { case (n, ft, lt, secs) =>
+      if (n == 0) assert(ft.isEmpty && lt.isEmpty && secs.isEmpty)
+      else {
+        assert(ft.nonEmpty && lt.nonEmpty)
+        assert(Set("click", "view")(ft.get) && Set("click", "view")(lt.get))
+        // first touch precedes (or equals) the purchase, within 7 days
+        assert(secs.get >= 0 && secs.get <= 604799)
+      }
+    }
+  }
+
+  test("q_collocations: ratio rank is exact and pairs genuinely co-occur") {
+    import spark.implicits._
+    val rows = q("q_collocations")
+      .select("c12", "pmi_ratio_ppm").as[(Long, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._1 >= 5), "min-count floor violated")
+    // PMI > 0 ⟺ ratio > 1 ⟺ ppm > 1e6: top collocations must be
+    // positively associated, else the ranking is vacuous
+    assert(rows.forall(_._2 > 1000000L), rows.mkString(","))
+  }
+
+  test("q_incr_agg: merged table equals the direct full aggregate") {
+    val merged = q("q_incr_agg")
+    val full = Tables.load(spark, dir, "orders")
+      .select(trunc(col("o_orderdate"), "month").as("month"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("month", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the cutoff must split a month so the merge genuinely combines:
+    // June 1998 exists on both sides
+    val jun = Tables.load(spark, dir, "orders")
+      .filter(trunc(col("o_orderdate"), "month") === lit("1998-06-01"))
+    assert(jun.filter(col("o_orderdate") <
+      lit("1998-06-15 00:00:00").cast("timestamp")).count() > 0)
+    assert(jun.filter(col("o_orderdate") >=
+      lit("1998-06-15 00:00:00").cast("timestamp")).count() > 0)
+  }
 }

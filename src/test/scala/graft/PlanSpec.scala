@@ -372,4 +372,48 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_incr_agg: base and delta date bounds both push to the scans") {
+    // incremental maintenance only pays off if the delta scan reads the
+    // delta partition — the cutoff must reach parquet as a pushed filter
+    val pushed = scans("q_incr_agg").flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.count(_.contains("o_orderdate")) >= 2, pushed.toString)
+  }
+
+  test("q_hll_rollup: sketch rollup aggregates partially (map-side combine)") {
+    val plan = planString("q_hll_rollup")
+    assert(plan.contains("partial_hll_sketch_agg"), plan)
+    // the union level must ALSO combine map-side — that is the whole
+    // point of a mergeable sketch rollup
+    assert(plan.contains("partial_hll_union_agg"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_dq_audit: RI check is an id-only anti join, row checks one aggregate") {
+    val plan = planString("q_dq_audit")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin") || plan.contains("LeftAnti"), plan)
+  }
+
+  test("q_collocations: corpus shuffles once into c12; top-20 fuses TakeOrdered") {
+    val plan = planString("q_collocations")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // c1/c2/N derive from c12 (InMemoryTableScan), never rescan documents
+    val docScans = scans("q_collocations")
+      .count(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans <= 1, s"documents scanned $docScans times")
+  }
+
+  test("q_attribution: one user_id shuffle serves first/last/count windows") {
+    val plan = planString("q_attribution")
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert("Window".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("q_schema_evolution merged read groups without a cartesian") {
+    val plan = planString("q_schema_evolution")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
