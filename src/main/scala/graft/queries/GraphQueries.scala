@@ -26,7 +26,7 @@ object GraphQueries {
     * into a handful of sort partitions. Real deployments would supply
     * an edge table directly; the derivation here exists so the query
     * is self-contained on the fixture. */
-  private def handoffEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def handoffEdges(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
     val w = Window
       .partitionBy(col("event_type"), to_date(col("ts")))
@@ -112,5 +112,87 @@ object GraphQueries {
     },
     "PageRank quality prior: 3 integer-arithmetic rounds, one shuffle per round")
 
-  val all: Seq[Q] = Seq(qPagerank)
+  /** Triangle participation counts — the standard local-clustering /
+    * community-density signal over the same handoff graph as
+    * q_pagerank. Algorithm is the degree-oriented "compact-forward"
+    * scheme (Latapy 2008; the MapReduce form in Suri & Vassilvitskii
+    * 2011): orient every undirected edge from the endpoint that is
+    * SMALLER in the total order (degree, id) to the larger, so every
+    * node's out-degree is O(√m) regardless of hub skew; enumerate
+    * wedges at each center (pairs of out-neighbors, again ordered) and
+    * close them against the oriented edge list. Each triangle
+    * {a<b<c in the order} is found exactly once: wedge at a = (b, c),
+    * closed by b→c.
+    *
+    * Scale: the wedge join is the dominant cost and the orientation is
+    * what bounds it — without it a single celebrity hub of degree d
+    * contributes d² wedges; with it, Σ outdeg² = O(m^1.5). Joins are
+    * id+degree-sized; nothing corpus-sized collects. Output is the
+    * top-20 nodes by triangle count (tie-broken by node id). */
+  val qTriangleCount = Q(
+    "q_triangle_count",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val directed = handoffEdges(spark, dir)
+      val und = directed
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), Seq("a"))
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), Seq("b"))
+      // orient small-(deg,id) → large-(deg,id); carry the dst order key
+      val aOrd = struct(col("da").as("d"), col("a").as("n"))
+      val bOrd = struct(col("db").as("d"), col("b").as("n"))
+      val oriented = withDeg.select(
+        when(aOrd < bOrd, col("a")).otherwise(col("b")).as("src"),
+        when(aOrd < bOrd, bOrd).otherwise(aOrd).as("dstOrd"))
+        .select(col("src"), col("dstOrd.n").as("dst"), col("dstOrd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val o1 = oriented.select(col("src"), col("dst").as("v"), col("dstOrd").as("vOrd"))
+      val o2 = oriented.select(col("src"), col("dst").as("w"), col("dstOrd").as("wOrd"))
+      val wedges = o1.join(o2, Seq("src")).filter(col("vOrd") < col("wOrd"))
+        .select(col("src").as("center"), col("v"), col("w"))
+      val tris = wedges.join(oriented,
+        wedges("v") === oriented("src") && wedges("w") === oriented("dst"))
+        .select(col("center"), col("v"), col("w"))
+      tris.select(explode(array(col("center"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node").asc).limit(20)
+    },
+    Some("""WITH seq AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, user_id,
+          lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS dst
+        FROM events),
+      dedges AS (SELECT DISTINCT user_id AS src, dst FROM seq
+        WHERE dst IS NOT NULL AND dst != user_id),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM dedges),
+      deg AS (SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN (x.d, u.a) < (y.d, u.b) THEN u.a ELSE u.b END AS src,
+               CASE WHEN (x.d, u.a) < (y.d, u.b) THEN u.b ELSE u.a END AS dst,
+               CASE WHEN (x.d, u.a) < (y.d, u.b) THEN y.d ELSE x.d END AS dd
+        FROM und u
+        JOIN deg x ON u.a = x.node
+        JOIN deg y ON u.b = y.node),
+      wedges AS (
+        SELECT o1.src AS center, o1.dst AS v, o2.dst AS w
+        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+        WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)),
+      tris AS (
+        SELECT center, v, w FROM wedges
+        JOIN oriented o ON wedges.v = o.src AND wedges.w = o.dst)
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT unnest([center, v, w]) AS node FROM tris)
+      GROUP BY 1 ORDER BY n_triangles DESC, node ASC LIMIT 20"""),
+    "Triangle counts via degree-oriented wedge closing (out-degree O(sqrt m))")
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangleCount)
 }

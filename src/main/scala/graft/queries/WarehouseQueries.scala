@@ -234,5 +234,89 @@ object WarehouseQueries {
       GROUP BY 1, 2"""),
     "mergeSchema scan over drifted parquet batches (added column → null backfill)")
 
-  val all: Seq[Q] = Seq(qHllRollup, qIncrAgg, qDqAudit, qSchemaEvolution)
+  /** Snapshot diff — the table-versioning primitive (what "time
+    * travel"/CDC tooling computes between two table versions): given
+    * yesterday's and today's snapshots keyed by PK, emit every key as
+    * insert / delete / update, dropping the unchanged majority. The
+    * new snapshot is derived from the old by deterministic seeded
+    * mutations (mod-prime slices, mirrored verbatim in the oracle):
+    * %101 deleted, %103 re-prioritized, %107 cloned to a disjoint
+    * +2e9 key range (fixture keys stay well below at every SF).
+    * Change detection is a null-safe full-outer join on the PK with
+    * column-wise <=> comparison — never a formatted-string hash, so
+    * no cross-engine float-formatting taste can leak in.
+    * Scale: one key-partitioned shuffle per side feeding a full-outer
+    * SMJ — the unavoidable shape of a whole-table diff; at 100 TB both
+    * snapshots would be bucketed on the PK so the join runs
+    * exchange-free (the q_join_bucketed write-once/join-many shape).
+    * Update rows re-verify all compared columns, so a diff over
+    * identical snapshots is provably empty. */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "price_cents", "o_day")
+      val old = load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), cents("o_totalprice").as("price_cents"),
+        to_date(col("o_orderdate")).as("o_day"))
+      val mutated = old
+        .filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+        .withColumn("o_orderpriority",
+          when(pmod(col("o_orderkey"), lit(103)) === 0, lit("0-REPRIORITIZED"))
+            .otherwise(col("o_orderpriority")))
+      val inserted = old.filter(pmod(col("o_orderkey"), lit(107)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000000L)
+      val neu = mutated.unionByName(inserted)
+      val o = old.select(cols.map(c => col(c).as("old_" + c)): _*)
+      val n = neu.select(cols.map(c => col(c).as("new_" + c)): _*)
+      val joined = o.join(n,
+        o("old_o_orderkey") === n("new_o_orderkey"), "full_outer")
+      val changed = cols.tail.map(c =>
+        !(col("old_" + c) <=> col("new_" + c))).reduce(_ || _)
+      joined.select(
+        coalesce(col("old_o_orderkey"), col("new_o_orderkey")).as("o_orderkey"),
+        when(col("new_o_orderkey").isNull, "delete")
+          .when(col("old_o_orderkey").isNull, "insert")
+          .when(changed, "update").as("change_type"))
+        .filter(col("change_type").isNotNull)
+    },
+    Some("""WITH old AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+          CAST(o_orderdate AS DATE) AS o_day
+        FROM orders),
+      neu AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 103 = 0 THEN '0-REPRIORITIZED'
+            ELSE o_orderpriority END AS o_orderpriority,
+          price_cents, o_day
+        FROM old WHERE o_orderkey % 101 != 0
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+          o_orderpriority, price_cents, o_day
+        FROM old WHERE o_orderkey % 107 = 0)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+          WHEN o.o_orderkey IS NULL THEN 'insert'
+          WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+            OR o.price_cents IS DISTINCT FROM n.price_cents
+            OR o.o_day IS DISTINCT FROM n.o_day
+          THEN 'update' END AS change_type
+      FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+      WHERE CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+          WHEN o.o_orderkey IS NULL THEN 'insert'
+          WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+            OR o.price_cents IS DISTINCT FROM n.price_cents
+            OR o.o_day IS DISTINCT FROM n.o_day
+          THEN 'update' END IS NOT NULL"""),
+    "Snapshot diff: full-outer PK join, null-safe column compare, CDC classes")
+
+  val all: Seq[Q] = Seq(qHllRollup, qIncrAgg, qDqAudit, qSchemaEvolution,
+    qSnapshotDiff)
 }

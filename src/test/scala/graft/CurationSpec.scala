@@ -432,6 +432,46 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_._2 > 1000000L), rows.mkString(","))
   }
 
+  test("q_triangle_count equals a brute-force triple-join reference") {
+    import spark.implicits._
+    // reference: id-ordered triple join a<b<c — O(m^3)-ish, test-scale only
+    val und = queries.GraphQueries.handoffEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    try {
+      val e1 = und.select(col("a").as("x"), col("b").as("y"))
+      val e2 = und.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = und.select(col("a").as("x3"), col("b").as("z3"))
+      val tris = e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .select(col("x"), col("y"), col("z"))
+      val refCounts = tris
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node").asc).limit(20)
+        .as[(Long, Long)].collect().toSeq
+      val got = q("q_triangle_count").as[(Long, Long)].collect().toSeq
+      assert(got == refCounts, s"degree-oriented != brute force:\n$got\n$refCounts")
+      assert(got.nonEmpty && got.head._2 > 0, "no triangles found — vacuous")
+    } finally { und.unpersist(); () }
+  }
+
+  test("q_snapshot_diff class counts match the seeded mutation slices") {
+    import spark.implicits._
+    val byType = q("q_snapshot_diff").groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap
+    val keys = Tables.load(spark, dir, "orders").select("o_orderkey")
+    def slice(m: Int) = keys.filter(pmod(col("o_orderkey"), lit(m)) === 0).count()
+    assert(byType("delete") == slice(101))
+    assert(byType("insert") == slice(107))
+    // updates exclude keys that were deleted first (101 wins over 103)
+    val upd = keys.filter(pmod(col("o_orderkey"), lit(103)) === 0 &&
+      pmod(col("o_orderkey"), lit(101)) =!= 0).count()
+    assert(byType("update") == upd)
+    assert(byType.values.forall(_ > 0), s"vacuous class: $byType")
+  }
+
   test("q_incr_agg: merged table equals the direct full aggregate") {
     val merged = q("q_incr_agg")
     val full = Tables.load(spark, dir, "orders")

@@ -411,6 +411,19 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("q_triangle_count: wedge closing is hash/merge joins, never cartesian") {
+    val plan = planString("q_triangle_count")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_snapshot_diff: full-outer PK join, no row-hash string formatting") {
+    val plan = planString("q_snapshot_diff")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_schema_evolution merged read groups without a cartesian") {
     val plan = planString("q_schema_evolution")
     assert(!plan.contains("CartesianProduct"), plan)
