@@ -1539,6 +1539,126 @@ object TextQueries {
         UNION ALL SELECT 3, a, b, n FROM win3)"""),
     "BPE merge learning: 3 Lloyd-shaped rounds, vocab-sized shuffles, k=1 driver rows")
 
+  /** BPE ENCODE — the apply half of the tokenizer (q_bpe_learn is the
+    * learn half): re-derive the 3 greedy merges, apply them to the
+    * DISTINCT word vocabulary only (the fold is interpreted
+    * per-symbol; running it per word OCCURRENCE would be corpus-sized
+    * — encoding the vocab once and joining is the scale design: the
+    * corpus-token-sized work is a plain hash join on `word`), then
+    * per-doc token counts = sum of per-word symbol counts. This is
+    * what a training pipeline runs to budget sequence lengths before
+    * packing (q_chunk_pack consumes exactly these counts).
+    * The merge fold is the same leftmost-greedy single-pass
+    * `aggregate` as q_bpe_learn; the oracle replays learn's recursive
+    * CTE carrying `word` through the folds and joins it back to the
+    * exploded corpus. */
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      var cur = load(spark, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          expr("filter(split(word, ''), x -> x <> '')").as("syms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (1 to 3).foreach { _ =>
+        val win = cur.filter(size(col("syms")) >= 2)
+          .select(col("freq"), col("syms"),
+            explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+          .select(element_at(col("syms"), col("i")).as("a"),
+            element_at(col("syms"), col("i") + 1).as("b"), col("freq"))
+          .groupBy("a", "b").agg(sum(col("freq")).cast("long").as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b) = (win.getString(0), win.getString(1))
+        cur = cur.select(col("word"), col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+      }
+      val encoded = cur.select(col("word"), size(col("syms")).cast("long").as("nt"))
+      load(spark, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(encoded, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens_bpe"))
+    },
+    Some(raw"""WITH RECURSIVE
+      words0 AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' ')) AS w
+          FROM documents) WHERE length(w) > 0 GROUP BY w),
+      vocab1 AS (
+        SELECT word, freq,
+          [substr(word, i, 1) FOR i IN range(1, length(word) + 1)] AS syms
+        FROM words0),
+      pairs1 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab1)
+        GROUP BY 1, 2),
+      win1 AS (SELECT a, b, n FROM pairs1 ORDER BY n DESC, a, b LIMIT 1),
+      f1 AS (
+        SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab1
+        UNION ALL
+        SELECT word, freq, syms, i + 1,
+          CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM win1)
+                AND syms[i] = (SELECT b FROM win1)
+            THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+            ELSE acc || [syms[i]] END
+        FROM f1 WHERE i <= len(syms)),
+      vocab2 AS (SELECT word, freq, acc AS syms FROM f1 WHERE i = len(syms) + 1),
+      pairs2 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab2)
+        GROUP BY 1, 2),
+      win2 AS (SELECT a, b, n FROM pairs2 ORDER BY n DESC, a, b LIMIT 1),
+      f2 AS (
+        SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab2
+        UNION ALL
+        SELECT word, freq, syms, i + 1,
+          CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM win2)
+                AND syms[i] = (SELECT b FROM win2)
+            THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+            ELSE acc || [syms[i]] END
+        FROM f2 WHERE i <= len(syms)),
+      vocab3 AS (SELECT word, freq, acc AS syms FROM f2 WHERE i = len(syms) + 1),
+      pairs3 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms,
+          unnest(generate_series(1, len(syms) - 1)) AS i FROM vocab3)
+        GROUP BY 1, 2),
+      win3 AS (SELECT a, b, n FROM pairs3 ORDER BY n DESC, a, b LIMIT 1),
+      f3 AS (
+        SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM vocab3
+        UNION ALL
+        SELECT word, freq, syms, i + 1,
+          CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM win3)
+                AND syms[i] = (SELECT b FROM win3)
+            THEN acc[1:len(acc)-1] || [acc[-1] || syms[i]]
+            ELSE acc || [syms[i]] END
+        FROM f3 WHERE i <= len(syms)),
+      vocab4 AS (SELECT word, acc AS syms FROM f3 WHERE i = len(syms) + 1),
+      encoded AS (SELECT word, CAST(len(syms) AS BIGINT) AS nt FROM vocab4),
+      docw AS (
+        SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g'), ' ')) AS word
+        FROM documents)
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens_bpe
+      FROM (SELECT doc_id, word FROM docw WHERE length(word) > 0) d
+      JOIN encoded USING (word)
+      GROUP BY doc_id"""),
+    "BPE encode: vocab-only merge replay + corpus join, per-doc token budgets")
+
   /** Bigram-LM perplexity scoring — the classic model-based quality
     * filter (a corpus-trained n-gram LM scores each document; docs the
     * model finds "surprising" are boilerplate/garbage candidates).
@@ -1819,6 +1939,6 @@ object TextQueries {
     qDecontaminate, qTextRepetition, qChunkPack, qChunkOverlap, qBpePairs,
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
-    qDedupSubstring, qBpeLearn, qLmPerplexity, qDedupContainment,
+    qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations)
 }

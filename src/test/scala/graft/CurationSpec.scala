@@ -432,6 +432,27 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_._2 > 1000000L), rows.mkString(","))
   }
 
+  test("q_bpe_encode: token counts bounded by words below and chars above") {
+    import spark.implicits._
+    val rows = q("q_bpe_encode")
+      .as[(Long, Long, Long)].collect() // doc_id, n_words, n_tokens_bpe
+    assert(rows.nonEmpty)
+    // chars per doc (of the tokenized words) — the no-merge upper bound
+    val chars = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.ops.TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id").agg(sum(length(col("w"))).as("c"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, nw, nt) =>
+      assert(nt >= nw, s"doc $id: fewer tokens than words")
+      assert(nt <= chars(id), s"doc $id: more tokens than characters")
+    }
+    // three merges were learned from this corpus — they must actually
+    // compress it, else the apply step is vacuous
+    assert(rows.map(_._3).sum < chars.values.sum,
+      "BPE merges did not reduce token count anywhere")
+  }
+
   test("q_triangle_count equals a brute-force triple-join reference") {
     import spark.implicits._
     // reference: id-ordered triple join a<b<c — O(m^3)-ish, test-scale only

@@ -411,6 +411,12 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("q_bpe_encode: corpus join on word, no cartesian, merges fold vocab-only") {
+    val plan = planString("q_bpe_encode")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q_triangle_count: wedge closing is hash/merge joins, never cartesian") {
     val plan = planString("q_triangle_count")
     assert(!plan.contains("CartesianProduct"), plan)
