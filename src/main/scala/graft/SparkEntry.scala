@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, EventQueries, GraphQueries, JoinQueries, StarQueries, StreamQueries, TextQueries, VectorQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, EventQueries, GraphQueries, JoinQueries, StarQueries, StatQueries, StreamQueries, TextQueries, VectorQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ AnalyticsQueries.all ++ StarQueries.all ++
-      StreamQueries.all ++ GraphQueries.all ++ WarehouseQueries.all
+      StreamQueries.all ++ GraphQueries.all ++ WarehouseQueries.all ++
+      StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Star-style: deterministic newest-order-per-customer dedup

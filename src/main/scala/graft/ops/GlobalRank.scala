@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global total-order rank WITHOUT a single-partition sort.
+  *
+  * A bare `row_number() OVER (ORDER BY ...)` (or ntile/percent_rank)
+  * moves the whole input through ONE partition — the canonical
+  * scale-killer for global ranking at fact-table size. The scalable
+  * shape (the zipWithIndex pattern, expressed in DataFrame terms):
+  *
+  *   1. `repartitionByRange` on the sort key — Spark samples range
+  *      boundaries, every partition holds a contiguous key range, the
+  *      sort parallelizes across all of them;
+  *   2. `sortWithinPartitions` — no further exchange;
+  *   3. per-partition row counts via ONE k-row action (k = number of
+  *      partitions), prefix-summed on the driver into offsets;
+  *   4. within-partition position from `monotonically_increasing_id()`
+  *      (documented layout: partitionId * 2^33 + row index within the
+  *      partition, assigned in row order of the sorted stage), plus
+  *      the broadcast offset of the partition = global 1-based rank.
+  *
+  * The only data movement is the one range exchange; the offsets table
+  * is k rows and broadcast. Rank values are deterministic for any
+  * boundary sampling as long as the sort key is a total order (callers
+  * must include a unique tiebreak column).
+  */
+object GlobalRank {
+  private val PART_BITS = 33L // monotonically_increasing_id partition stride
+
+  /** Adds `rankCol` = 1-based global rank by `sortCols` (must be a
+    * total order) and returns (frame, totalCount). One extra k-row
+    * action computes the per-partition offsets. */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+      numParts: Int): (DataFrame, Long) = {
+    val ranged = df
+      .repartitionByRange(numParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gr_mid", monotonically_increasing_id())
+      .withColumn("__gr_pid", shiftright(col("__gr_mid"), PART_BITS.toInt))
+      .withColumn("__gr_local",
+        col("__gr_mid").bitwiseAND(lit((1L << PART_BITS) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy(col("__gr_pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.tail.zip(counts).map { case ((pid, cum), (_, n)) => (pid, cum - n) }
+    val total = counts.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__gr_pid", "__gr_off")
+    val ranked = ranged
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn(rankCol, col("__gr_off") + col("__gr_local") + 1L)
+      .drop("__gr_mid", "__gr_pid", "__gr_local", "__gr_off")
+    (ranked, total)
+  }
+
+  /** SQL NTILE(k) bucket from a 1-based global rank over n rows —
+    * the closed form both Spark and DuckDB implement: the first
+    * n mod k buckets get ceil(n/k) rows, the rest floor(n/k). */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val bigCut = rem * (q + 1) // ranks 1..bigCut live in the big buckets
+    when(rank <= bigCut, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(lit(rem) + floor((rank - bigCut - 1) / q) + 1)
+      .cast("int")
+  }
+}

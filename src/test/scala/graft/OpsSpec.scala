@@ -342,4 +342,38 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(Multimodal.fitSquare(d, 224), 1)
       .select("frame_idx").as[Int].collect().toSeq.forall(_ == 0))
   }
+
+  test("GlobalRank equals the single-partition window rank + ntile, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val sort = Seq(col("c").asc, col("o_orderkey").asc)
+    // reference: Spark's own global window (fine at fixture size)
+    val w = Window.orderBy(sort: _*)
+    val ref = df.withColumn("r", row_number().over(w))
+      .withColumn("decile", ntile(10).over(w))
+      .select("o_orderkey", "r", "decile")
+    for (parts <- Seq(1, 3, 32)) {
+      val (ranked, total) = GlobalRank.withGlobalRank(df, sort, "r", parts)
+      assert(total == df.count())
+      val got = ranked.withColumn("decile",
+        GlobalRank.ntileFromRank(col("r"), total, 10))
+        .select("o_orderkey", "r", "decile")
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"rank mismatch at numParts=$parts")
+      ranked.unpersist()
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("GlobalRank ntileFromRank handles k > n (every rank in a big bucket)") {
+    val (ranked, total) = GlobalRank.withGlobalRank(
+      Seq(5L, 1L, 9L).toDF("v"), Seq(col("v").asc), "r", 2)
+    assert(total == 3)
+    val got = ranked.withColumn("b", GlobalRank.ntileFromRank(col("r"), total, 10))
+      .select("v", "b").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 5L -> 2, 9L -> 3))
+    spark.catalog.clearCache()
+  }
 }

@@ -435,4 +435,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("q_grouping_sets plans all sets in one Expand, one aggregate pass") {
+    val plan = planString("q_grouping_sets")
+    assert("Expand".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("q_unpivot expands AFTER the aggregate (months-sized), not on the fact") {
+    // the Expand's child must be the aggregated wide frame, i.e. the
+    // plan reads scan -> aggregate -> expand, never scan -> expand
+    val plan = SparkEntry.queries("q_unpivot")(spark, dir)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("Expand"), s)
+    val expandIdx = s.indexOf("Expand")
+    val aggIdx = s.lastIndexOf("HashAggregate")
+    assert(aggIdx > expandIdx, "aggregate should be below (after in text) the Expand\n" + s)
+  }
+
+  test("q_quantile_bins: parallel range sort, never a single-partition window") {
+    val plan = planString("q_quantile_bins")
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q_histogram / q_k_anonymity are one combinable shuffle each") {
+    for (q <- Seq("q_histogram", "q_k_anonymity")) {
+      val plan = planString(q)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // partial + final aggregate = map-side combine is in place
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    }
+  }
 }
