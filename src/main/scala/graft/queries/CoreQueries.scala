@@ -450,8 +450,46 @@ object CoreQueries {
       GROUP BY 1, 2"""),
     "S-family ORC sink + pushed-filter read-back roundtrip")
 
+  /** URL parsing (§2.8 string-function family): web corpora key on
+    * URLs — host for per-site quality priors, registrable domain for
+    * dedup scoping, query params for tracking-stripping. The fixture
+    * has no URL column, so deterministic URLs are synthesized from
+    * (source, lang, doc_id) and then parsed back with Spark's
+    * parse_url; the DuckDB oracle computes each component from the
+    * same fields DIRECTLY — so the check proves parse_url inverts the
+    * construction exactly (HOST/PATH/QUERY grammar, per-key query
+    * param lookup). example.com is the IANA-reserved documentation
+    * domain. Row-local, shuffle-free; at corpus scale this is a
+    * projection fused into the scan. */
+  val qUrlExtract = Q(
+    "q_url_extract",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc/"), col("doc_id"),
+          lit("?ref=r"), pmod(col("doc_id"), lit(7)),
+          lit("&p="), pmod(col("doc_id"), lit(13))))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref_param"),
+          substring_index(expr("parse_url(url, 'HOST')"), ".", -2).as("domain"))
+    },
+    Some("""SELECT doc_id,
+      'https://' || source || '.example.com/' || lang || '/doc/' || doc_id
+        || '?ref=r' || (doc_id % 7) || '&p=' || (doc_id % 13) AS url,
+      source || '.example.com' AS host,
+      '/' || lang || '/doc/' || doc_id AS path,
+      'r' || (doc_id % 7) AS ref_param,
+      'example.com' AS domain
+      FROM documents"""),
+    "parse_url HOST/PATH/QUERY-param extraction + registrable domain")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
     qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip,
-    qJsonlScan, qOrcRoundtrip)
+    qJsonlScan, qOrcRoundtrip, qUrlExtract)
 }

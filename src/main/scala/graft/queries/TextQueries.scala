@@ -1932,6 +1932,47 @@ object TextQueries {
     ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 20"""),
     "PMI collocations: integer cross-multiplied ratio rank, one corpus shuffle")
 
+  /** Word-level Shannon entropy per document — the information-density
+    * quality signal (low entropy = repetitive/templated text, the same
+    * family as q_text_repetition but distribution-based): for each doc,
+    * H = -Σ p(w)·ln p(w) over its word distribution. Each word type's
+    * contribution is rounded to integer nat-basis-points BEFORE the
+    * per-doc sum (the q_lm_perplexity convention), so the doc total is
+    * an order-independent integer the DuckDB oracle reproduces exactly.
+    * Scale: explode → two combinable aggregations on (doc_id, word) /
+    * (doc_id) + one co-partitioned join on doc_id — all shuffles are
+    * key-partitioned and token-bounded; nothing is corpus-global. */
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val c = d.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      c.join(n, Seq("doc_id"))
+        .withColumn("term_bp",
+          round(lit(-10000.0) * (col("c") / col("n")) *
+            log(col("c") / col("n"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("term_bp")).as("entropy_nat_bp"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      u AS (SELECT doc_id, unnest(w) AS word FROM t),
+      c AS (SELECT doc_id, word, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1)
+      SELECT c.doc_id,
+        CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_types,
+        CAST(SUM(CAST(round(-10000.0 * (c.c / n.n) * ln(c.c / n.n)) AS BIGINT))
+          AS BIGINT) AS entropy_nat_bp
+      FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1"""),
+    "Per-doc word-distribution Shannon entropy in nat-bp (quality signal)")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -1940,5 +1981,5 @@ object TextQueries {
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
-    qTextNormalize, qSampleWeighted, qCollocations)
+    qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy)
 }

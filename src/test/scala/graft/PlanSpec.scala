@@ -463,6 +463,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q_url_extract is a shuffle-free row-local projection") {
+    val plan = planString("q_url_extract")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Sort"), plan)
+  }
+
+  test("q_text_entropy shuffles only on keys, never a global funnel") {
+    val plan = planString("q_text_entropy")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_knn_graph: bucket kernel + windowed top-k, no all-pairs join") {
+    val plan = planString("q_knn_graph")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("q_histogram / q_k_anonymity are one combinable shuffle each") {
     for (q <- Seq("q_histogram", "q_k_anonymity")) {
       val plan = planString(q)
