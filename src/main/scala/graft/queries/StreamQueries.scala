@@ -297,6 +297,148 @@ object StreamQueries {
       WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""),
     "Watermarked stream-stream join == the batch time-bounded join (parity oracle)")
 
+  /** Stateful streaming SESSIONIZATION parity — the remaining
+    * Structured Streaming state shape after the foreachBatch /
+    * watermark-dedup / stream-stream-join parities:
+    * `flatMapGroupsWithState` with per-user O(1) session state
+    * ([[graft.streaming.EventOps.sessionizeStreaming]]), run to
+    * completion on a bounded chronological file stream and
+    * hash-compared against the BATCH window-function sessionizer's
+    * oracle on the same input.
+    *
+    * The stream arrives as 4 time-quartile micro-batches (written in
+    * order; maxFilesPerTrigger=1), so sessions genuinely SPAN
+    * micro-batch boundaries and the state carry-over is what's being
+    * proven. A final sentinel batch (one far-future event per user,
+    * event_id = -1) closes every open session — Append-mode
+    * flatMapGroupsWithState only emits CLOSED sessions, and the
+    * sentinel's own session stays open and unemitted, so streamed
+    * output == all batch sessions exactly.
+    *
+    * Timestamps are truncated to whole seconds on BOTH sides (input
+    * projection + oracle): the session state keys on epoch-millis,
+    * the batch form floors to epoch-seconds, and the fixture carries
+    * microseconds — truncation makes gap arithmetic identical in
+    * any unit (a production state would store micros instead).
+    * user_id is compressed mod 10: the raw fixture averages ~2 events
+    * per user per DAY against a 30-minute gap, so nearly every
+    * session is a single event and state carry-over would go
+    * untested; 10 dense synthetic users yield thousands of
+    * multi-event sessions at the gate SF. The micro-batch cuts are
+    * anchored to INTERIOR session events (an event whose predecessor
+    * is in the same session and strictly earlier), so at least one
+    * session provably spans each cut at any SF — StreamingSpec pins
+    * this non-vacuousness. State-store partitions follow key
+    * cardinality (10 users → 8 partitions), the q_stream_stream_join
+    * sizing note. Same LOCAL-MODE scratch-path note as the other
+    * parities. */
+  val sessRoot = "/tmp/graft_stream_sess"
+
+  /** Second-truncated, user-compressed event stream for the
+    * sessionization parity fixture. */
+  private[graft] def sessionEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    load(spark, dir, "events")
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        pmod(col("user_id"), lit(10)).as("user_id"),
+        col("event_type"), col("value"))
+
+  /** Three micro-batch cut instants, each anchored to an interior
+    * session event at/after the time quartile (falling back to the
+    * bare quartile instant if a tail quartile has no interior event):
+    * the anchored event's session has rows strictly before AND at/after
+    * the cut, so cross-batch state carry-over is exercised by
+    * construction. One 2-scalar action + one 3-scalar action. */
+  private[graft] def sessionCuts(ev: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Seq[Long]) = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (tMin, tMax) = ev.agg(
+      min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .as[(Long, Long)].collect().head
+    val step = math.max(1L, (tMax - tMin + 4) / 4)
+    val qs = (1 to 3).map(i => tMin + i * step)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val interior = ev
+      .withColumn("p", lag(col("ts"), 1).over(w).cast("long"))
+      .select(col("ts").cast("long").as("t"), col("p"))
+      .filter(col("p").isNotNull && col("p") < col("t") &&
+        col("t") - col("p") <= 1800L)
+    val row = interior.agg(
+      min(when(col("t") >= qs(0), col("t"))),
+      min(when(col("t") >= qs(1), col("t"))),
+      min(when(col("t") >= qs(2), col("t")))).collect().head
+    val cuts = (0 until 3).map(i =>
+      if (row.isNullAt(i)) qs(i) else row.getLong(i))
+    (tMin, tMax, cuts)
+  }
+
+  val qStreamSessionParity = Q(
+    "q_stream_session_parity",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val inDir = s"$sessRoot/in"
+      val outDir = s"$sessRoot/out"
+      val ckDir = s"$sessRoot/ck"
+      val fs = new Path(sessRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(sessRoot), true)
+
+      val ev = sessionEvents(spark, dir)
+      val (_, tMax, cuts) = sessionCuts(ev)
+      val bounds = (Long.MinValue +: cuts) :+ (tMax + 1)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        ev.filter(col("ts").cast("long") >= lo && col("ts").cast("long") < hi)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      // sentinel: one far-future event per user closes all open sessions
+      ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          lit(tMax + 1801L).cast("timestamp").as("ts"), col("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+      withStatePartitions(spark, 8) {
+        val stream = spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .as[graft.streaming.EventOps.Event]
+        val q = graft.streaming.EventOps.sessionizeStreaming(stream, 30,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir)
+    },
+    // the batch sessionizer's oracle on second-truncated input, with
+    // the same (user_id, session_start, n_events) projection
+    Some("""WITH e AS (
+      SELECT event_id, date_trunc('second', ts) AS ts,
+        user_id % 10 AS user_id FROM events),
+    g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g)
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq"""),
+    "Stateful streaming sessionization == batch window sessionizer (parity oracle)")
+
   val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity,
-    qStreamWatermarkDedup, qStreamStreamJoin)
+    qStreamWatermarkDedup, qStreamStreamJoin, qStreamSessionParity)
 }

@@ -251,36 +251,59 @@ object WarehouseQueries {
     * exchange-free (the q_join_bucketed write-once/join-many shape).
     * Update rows re-verify all compared columns, so a diff over
     * identical snapshots is provably empty. */
+  private val snapCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority", "price_cents", "o_day")
+
+  /** Yesterday's snapshot: orders keyed by PK with typed columns. */
+  private def oldSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), cents("o_totalprice").as("price_cents"),
+      to_date(col("o_orderdate")).as("o_day"))
+
+  /** Today's snapshot: deterministic seeded mutations of yesterday's
+    * (%101 deleted, %103 re-prioritized, %107 cloned to +2e9 keys). */
+  private def newSnapshot(old: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mutated = old
+      .filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(103)) === 0, lit("0-REPRIORITIZED"))
+          .otherwise(col("o_orderpriority")))
+    val inserted = old.filter(pmod(col("o_orderkey"), lit(107)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000000L)
+    mutated.unionByName(inserted)
+  }
+
+  /** Full-outer PK join of the two snapshots with null-safe column
+    * compare; rows classified insert/delete/update, unchanged dropped.
+    * Carries the NEW payload so a downstream apply step is possible. */
+  private def snapshotChanges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val old = oldSnapshot(spark, dir)
+    val neu = newSnapshot(old)
+    val o = old.select(snapCols.map(c => col(c).as("old_" + c)): _*)
+    val n = neu.select(snapCols.map(c => col(c).as("new_" + c)): _*)
+    val joined = o.join(n,
+      o("old_o_orderkey") === n("new_o_orderkey"), "full_outer")
+    val changed = snapCols.tail.map(c =>
+      !(col("old_" + c) <=> col("new_" + c))).reduce(_ || _)
+    joined.select(
+      (Seq(
+        coalesce(col("old_o_orderkey"), col("new_o_orderkey")).as("o_orderkey"),
+        when(col("new_o_orderkey").isNull, "delete")
+          .when(col("old_o_orderkey").isNull, "insert")
+          .when(changed, "update").as("change_type")) ++
+        snapCols.map(c => col("new_" + c))): _*)
+      .filter(col("change_type").isNotNull)
+  }
+
   val qSnapshotDiff = Q(
     "q_snapshot_diff",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "price_cents", "o_day")
-      val old = load(spark, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority"), cents("o_totalprice").as("price_cents"),
-        to_date(col("o_orderdate")).as("o_day"))
-      val mutated = old
-        .filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
-        .withColumn("o_orderpriority",
-          when(pmod(col("o_orderkey"), lit(103)) === 0, lit("0-REPRIORITIZED"))
-            .otherwise(col("o_orderpriority")))
-      val inserted = old.filter(pmod(col("o_orderkey"), lit(107)) === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 2000000000L)
-      val neu = mutated.unionByName(inserted)
-      val o = old.select(cols.map(c => col(c).as("old_" + c)): _*)
-      val n = neu.select(cols.map(c => col(c).as("new_" + c)): _*)
-      val joined = o.join(n,
-        o("old_o_orderkey") === n("new_o_orderkey"), "full_outer")
-      val changed = cols.tail.map(c =>
-        !(col("old_" + c) <=> col("new_" + c))).reduce(_ || _)
-      joined.select(
-        coalesce(col("old_o_orderkey"), col("new_o_orderkey")).as("o_orderkey"),
-        when(col("new_o_orderkey").isNull, "delete")
-          .when(col("old_o_orderkey").isNull, "insert")
-          .when(changed, "update").as("change_type"))
-        .filter(col("change_type").isNotNull)
+      snapshotChanges(spark, dir).select("o_orderkey", "change_type")
     },
     Some("""WITH old AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
@@ -317,6 +340,53 @@ object WarehouseQueries {
           THEN 'update' END IS NOT NULL"""),
     "Snapshot diff: full-outer PK join, null-safe column compare, CDC classes")
 
+  /** CDC APPLY — the consumer side of q_snapshot_diff, closing the
+    * change-data-capture loop: given yesterday's snapshot and the
+    * classified change set (with new payloads), reconstruct today's
+    * snapshot as old ∖ (deleted ∪ updated keys) ∪ (updated ∪ inserted
+    * payloads). The oracle is today's snapshot computed DIRECTLY from
+    * the seeded mutations — hash equality proves diff → apply is the
+    * identity, i.e. the change feed alone is sufficient to advance a
+    * replica (what every downstream CDC consumer relies on).
+    * Scale: the removal is a LEFT ANTI join shipping only PK ids; the
+    * upsert union ships only changed-row payloads (changes-sized, not
+    * table-sized); the diff itself is the q_snapshot_diff full-outer
+    * SMJ. The changes frame is persisted once — both the anti and the
+    * upsert side consume it, and its lineage contains the full-outer
+    * diff. */
+  val qCdcApply = Q(
+    "q_cdc_apply",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val old = oldSnapshot(spark, dir)
+      val changes = snapshotChanges(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val removedKeys = changes
+        .filter(col("change_type").isin("delete", "update"))
+        .select(col("o_orderkey"))
+      val upserts = changes
+        .filter(col("change_type").isin("insert", "update"))
+        .select(col("o_orderkey") +: snapCols.tail.map(c =>
+          col("new_" + c).as(c)): _*)
+      old.join(removedKeys, Seq("o_orderkey"), "left_anti")
+        .unionByName(upserts)
+    },
+    Some("""WITH old AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+          CAST(o_orderdate AS DATE) AS o_day
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 103 = 0 THEN '0-REPRIORITIZED'
+          ELSE o_orderpriority END AS o_orderpriority,
+        price_cents, o_day
+      FROM old WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+        o_orderpriority, price_cents, o_day
+      FROM old WHERE o_orderkey % 107 = 0"""),
+    "CDC apply: old snapshot + change feed reconstructs the new snapshot")
+
   val all: Seq[Q] = Seq(qHllRollup, qIncrAgg, qDqAudit, qSchemaEvolution,
-    qSnapshotDiff)
+    qSnapshotDiff, qCdcApply)
 }

@@ -484,6 +484,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q_cdc_apply: id-only anti join + changes-sized upsert, no cartesian") {
+    val plan = planString("q_cdc_apply")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q_histogram / q_k_anonymity are one combinable shuffle each") {
     for (q <- Seq("q_histogram", "q_k_anonymity")) {
       val plan = planString(q)

@@ -287,4 +287,27 @@ class StreamingSpec extends SparkSpec {
     // the exact verify join removed any bloom false positives
     assert(hits.toSet === Set((10L, "fpA", 1L), (12L, "fpB", 2L)))
   }
+
+  test("q_stream_session_parity fixture has sessions spanning micro-batch cuts") {
+    // the parity claim is about state carry-over; if no session
+    // crossed a cut the cross-batch path would be untested and the
+    // oracle pass vacuous — the interior-event cut anchoring makes
+    // this hold by construction at every SF
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.StreamQueries.sessionEvents(spark, dir)
+    val (_, _, cuts) = graft.queries.StreamQueries.sessionCuts(ev)
+    val sessions = EventOps.sessionizeBatch(ev)
+      .select(col("session_start").cast("long").as("s"),
+        col("session_end").cast("long").as("e"))
+      .as[(Long, Long)].collect()
+    val spanning = sessions.count { case (s, e) =>
+      cuts.exists(c => s < c && e >= c) }
+    assert(spanning > 0,
+      s"no session spans a micro-batch cut (cuts=$cuts) — parity test vacuous")
+    // multi-event sessions must dominate enough to make the parity
+    // meaningful (the uncompressed fixture had ~0)
+    assert(sessions.count { case (s, e) => e > s } > 50)
+  }
 }
