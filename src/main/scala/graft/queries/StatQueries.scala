@@ -178,6 +178,77 @@ object StatQueries {
       FROM customer GROUP BY 1, 2, 3"""),
     "k-anonymity audit over quasi-identifier groups (k=5, banded balance)")
 
+  /** Table profiling — the per-column summary every warehouse
+    * profiler emits (count / nulls / exact distinct / min / max), one
+    * row per column. Built as one aggregate branch PER COLUMN unioned
+    * together, deliberately NOT one aggregate with six countDistincts:
+    * multi-distinct in a single aggregate plans an Expand that
+    * multiplies the fact scan by the column count, while per-column
+    * branches each read exactly ONE parquet column (PlanSpec pins the
+    * pruned ReadSchema) and aggregate combinably. At 100 TB you would
+    * swap exact distinct for the q_hll_rollup sketch; exact is the
+    * oracle shape. min/max are emitted as ISO strings of exact types
+    * (longs, date) — never float formatting, which differs across
+    * engines. NULLs are seeded on a mod-prime slice so the null
+    * counter is proven live. */
+  val qTableProfile = Q(
+    "q_table_profile",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val o = load(spark, dir, "orders")
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(89)) === 0, lit(null))
+            .otherwise(col("o_custkey")))
+      def profile(c: String, expr0: org.apache.spark.sql.Column) =
+        o.select(expr0.as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).cast("string").as("min_value"),
+            max(col("v")).cast("string").as("max_value"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      profile("o_orderkey", col("o_orderkey"))
+        .unionByName(profile("o_custkey", col("o_custkey")))
+        .unionByName(profile("o_orderstatus", col("o_orderstatus")))
+        .unionByName(profile("o_orderpriority", col("o_orderpriority")))
+        .unionByName(profile("price_cents", cents("o_totalprice")))
+        .unionByName(profile("o_day", to_date(col("o_orderdate"))))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+          o_orderstatus, o_orderpriority,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+          CAST(o_orderdate AS DATE) AS o_day
+        FROM orders)
+      SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        COUNT(DISTINCT o_orderkey) AS n_distinct,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM o
+      UNION ALL SELECT 'o_custkey', COUNT(*),
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT o_custkey),
+        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM o
+      UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT o_orderstatus),
+        MIN(o_orderstatus), MAX(o_orderstatus) FROM o
+      UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT o_orderpriority),
+        MIN(o_orderpriority), MAX(o_orderpriority) FROM o
+      UNION ALL SELECT 'price_cents', COUNT(*),
+        CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT price_cents),
+        CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR) FROM o
+      UNION ALL SELECT 'o_day', COUNT(*),
+        CAST(SUM(CASE WHEN o_day IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT o_day),
+        CAST(MIN(o_day) AS VARCHAR), CAST(MAX(o_day) AS VARCHAR) FROM o"""),
+    "Per-column table profile: count/nulls/distinct/min/max, pruned scans")
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qQuantileBins, qHistogram,
-    qKAnonymity)
+    qKAnonymity, qTableProfile)
 }

@@ -1044,6 +1044,60 @@ object TextQueries {
     JOIN hist h USING (fp)"""),
     "Incremental dedup: Bloom sketch prefilter + exact verify join")
 
+  /** The SHARDED Bloom path as an oracle row (until now it was only
+    * OpsSpec-driven): the per-sketch bit cap is lowered to ~1/8 of the
+    * history's optimal size, so [[graft.ops.BloomOps.prefilter]] must
+    * take the fingerprint-prefix sharding branch (~8-9 shards at EVERY
+    * SF — the cap adapts to the measured history count, so the branch
+    * engages identically at sf0.001 and sf10) and route probes through
+    * the O(1) `graft_bloom_sharded` expression. The exact verify join
+    * makes the output bloom-independent, so the oracle is the same
+    * dedup SQL as q_bloom_prefilter — hash equality proves sharding
+    * changes NOTHING but the sketch layout. The require() turns a
+    * silently-not-sharded run into a loud failure rather than a
+    * vacuous green. */
+  val qBloomSharded = Q(
+    "q_bloom_sharded",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val f = d.select(col("doc_id"),
+        md5(concat_ws(" ", slice(words(col("text")), 1, 5))).as("fp"))
+      val hist = f.filter(col("doc_id") % 3 === 0)
+        .groupBy("fp").agg(min(col("doc_id")).as("canonical"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newDocs = f.filter(col("doc_id") % 3 =!= 0)
+      val nHist = hist.count() // materializes the persist; reused below
+      val cap = math.max(64L, graft.ops.BloomOps.optimalBits(nHist) / 8)
+      val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, cap.toString)
+      try {
+        require(graft.ops.BloomOps.numShards(nHist,
+          graft.ops.BloomOps.TargetFpp, cap) >= 2,
+          "sharded path did not engage — cap derivation broken")
+        // sketches are built EAGERLY here (collect inside), so the
+        // lowered cap is observed now and restored safely after
+        graft.ops.BloomOps.prefilteredJoin(hist, newDocs, "fp")
+          .select(col("doc_id"), col("fp"), col("canonical"))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    },
+    Some("""WITH f AS (
+      SELECT doc_id,
+        md5(array_to_string((string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:5], ' ')) AS fp
+      FROM documents),
+    hist AS (SELECT fp, min(doc_id) AS canonical FROM f
+      WHERE doc_id % 3 = 0 GROUP BY fp)
+    SELECT n.doc_id, n.fp, h.canonical
+    FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 != 0) n
+    JOIN hist h USING (fp)"""),
+    "Sharded Bloom prefilter (cap forces ~8 fingerprint-prefix shards) + exact verify")
+
   /** Composite curation gate (the Gopher/MassiveText-style rule
     * stack): five quality rules evaluated per document, reported as a
     * FAILURE BITMASK (0 = admit) so downstream can both filter and
@@ -1981,5 +2035,6 @@ object TextQueries {
     qPiiScrub, qLineDedup, qMixtureSample, qTfidfTerms, qGopherFilter,
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
-    qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy)
+    qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
+    qBloomSharded)
 }

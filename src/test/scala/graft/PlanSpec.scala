@@ -484,6 +484,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q_table_profile: every branch scans at most 2 pruned columns") {
+    val ss = scans("q_table_profile")
+    assert(ss.size == 6, s"expected 6 per-column scans, got ${ss.size}")
+    ss.foreach { s =>
+      assert(s.requiredSchema.size <= 2,
+        s"profile branch reads ${s.requiredSchema.size} cols: ${s.requiredSchema}")
+    }
+  }
+
+  test("q_bloom_sharded probes through the O(1) sharded expression") {
+    val plan = planString("q_bloom_sharded")
+    assert(plan.contains("graft_bloom_sharded"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_cdc_apply: id-only anti join + changes-sized upsert, no cartesian") {
     val plan = planString("q_cdc_apply")
     assert(plan.contains("LeftAnti"), plan)
