@@ -200,9 +200,13 @@ object WarehouseQueries {
     * outlives its first schema. DuckDB mirrors with
     * read_parquet(union_by_name) — two engines agreeing on the merged
     * read. Same LOCAL-MODE idempotent fixture-write convention as
-    * q_partitioned_roundtrip (driver re-runs overwrite the same
-    * bytes; path is per-SF-invariant because the written CONTENT
-    * derives from the input dir).
+    * q_partitioned_roundtrip; the written CONTENT derives from the
+    * input dir, so the oracle (which reads this path at CHECK time)
+    * is only valid when build and check see the same bytes — verify
+    * runs for DIFFERENT SFs must not interleave between a run's build
+    * and its check (the driver's build→check is sequential per SF; a
+    * dev workflow running two SFs concurrently races here and fails
+    * with a value mismatch, not silently).
     * Scale note: mergeSchema footer-merges at planning time — O(files)
     * on the driver; production tables pin the merged schema in a
     * catalog instead. The read itself stays pruned/pushed. */
