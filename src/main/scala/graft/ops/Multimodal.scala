@@ -186,10 +186,45 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeWav))
   }
 
+  /** One fixed-width analysis frame of decoded PCM: `n_vals`
+    * interleaved sample values (≤ frame width), `frame_sum` their
+    * integer sum — the windowed-feature shape (energy/RMS per frame)
+    * every audio pipeline computes after decode. */
+  final case class AudioFrame(
+      doc_id: Long, frame_idx: Int, n_vals: Int, frame_sum: Long)
+
+  /** Per-frame sample sums over `frameVals` interleaved values:
+    * decode + window in ONE pass over the bytes (payloads never
+    * materialize a samples array per row), rows multiply only AFTER
+    * the payload is dropped — the frame table is integers. */
+  def frameEnergies(ds: Dataset[AudioRow],
+      frameVals: Int = 256): Dataset[AudioFrame] = {
+    import ds.sparkSession.implicits._
+    require(frameVals > 0, s"frameVals must be positive, got $frameVals")
+    ds.mapPartitions(_.flatMap { r =>
+      val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var nVals = 0
+      walkWav(r) { (j, v) =>
+        val f = j / frameVals
+        while (sums.size <= f) sums += 0L
+        sums(f) += v
+        nVals += 1
+      }
+      sums.iterator.zipWithIndex.map { case (s, i) =>
+        AudioFrame(r.doc_id, i,
+          math.min(frameVals, nVals - i * frameVals), s)
+      }
+    })
+  }
+
+  private def decodeWav(r: AudioRow): AudioFeatures =
+    walkWav(r)((_, _) => ())
+
   /** RIFF/WAVE PCM parser: RIFF grammar, fmt chunk fields, then a
     * full sample scan of the data chunk. Unknown chunks before data
-    * are skipped per the RIFF spec; PCM 16-bit only. */
-  private def decodeWav(r: AudioRow): AudioFeatures = {
+    * are skipped per the RIFF spec; PCM 16-bit only. `onSample` sees
+    * every interleaved value (index, value) in stream order. */
+  private def walkWav(r: AudioRow)(onSample: (Int, Int) => Unit): AudioFeatures = {
     val b = r.payload
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg")
@@ -229,7 +264,13 @@ object Multimodal {
             fail(s"data size $size not a frame multiple")
           var p = off + 8
           val end = off + 8 + size
-          while (p < end) { sampleSum += bb.getShort(p); p += 2 }
+          var j = 0
+          while (p < end) {
+            val v: Int = bb.getShort(p)
+            sampleSum += v
+            onSample(j, v)
+            p += 2; j += 1
+          }
           nSamples = size / (channels * 2)
           sawData = true
         case _ => () // RIFF allows unknown chunks; skip

@@ -111,6 +111,37 @@ object EventQueries {
     FROM p"""),
     "Multimodal: RIFF/WAVE PCM byte-level decode via batched mapPartitions")
 
+  /** Windowed audio features: per-256-value frame sums computed in
+    * the SAME byte pass as the decode (no per-row samples array ever
+    * materializes); frame rows multiply only after the payload is
+    * dropped, so what shuffles is a table of integers — the audio
+    * twin of q_multimodal_frames' decode-then-window discipline. The
+    * oracle recomputes every frame sum from the fixture's closed-form
+    * sample formula, so a windowing bug (off-by-one frame boundary,
+    * missed tail frame) hash-fails. */
+  val qAudioFrames = Q(
+    "q_audio_frames",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val packed = Multimodal.packWav(load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.frameEnergies(packed, 256).toDF()
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    p AS (
+      SELECT doc_id,
+        (1 + doc_id % 2) * (64 + n % 256) AS m
+      FROM d),
+    f AS (
+      SELECT doc_id, m, unnest(range((m + 255) // 256)) AS fi FROM p)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      CAST(LEAST(256, m - fi * 256) AS INTEGER) AS n_vals,
+      CAST(list_sum([(doc_id*31 + j*7) % 65536 - 32768
+        FOR j IN range(fi * 256, LEAST(m, (fi + 1) * 256))]) AS BIGINT)
+        AS frame_sum
+    FROM f"""),
+    "Multimodal audio: per-frame PCM sums in one decode pass (windowed features)")
+
   /** Multimodal pre-processing chain: decode → aspect-preserving
     * resize to a 224-box → uniform frame sampling (≤ 4 frames).
     * The decode is the real PPM parser; resize/stride arithmetic is
@@ -385,5 +416,5 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
     qMultimodalAudio, qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling,
-    qEventsFunnel, qEventsSliding, qJoinRange, qAttribution)
+    qEventsFunnel, qEventsSliding, qJoinRange, qAttribution, qAudioFrames)
 }

@@ -351,7 +351,47 @@ object JoinQueries {
       ON n.c_custkey = b.c_custkey"""),
     "FULL OUTER join: pre-aggregated sides, SMJ with unmatched rows from both")
 
+  /** Dynamic partition pruning — the join-time sibling of static
+    * partition pruning (q_partitioned_roundtrip): the fact is
+    * partitioned on a derived year; the dim side's filter is only
+    * known at plan time as a predicate on DIM attributes, so Spark
+    * injects a runtime subquery (`dynamicpruning#…` in the fact
+    * scan's PartitionFilters) that evaluates the dim first and reads
+    * ONLY the fact partitions whose years survive. At 100 TB this is
+    * the difference between scanning every date partition and the
+    * handful a dimension filter selects — the core star-schema scan
+    * optimization. PlanSpec pins the dynamicpruning expression in the
+    * scan. Fixture-write convention and LOCAL-MODE path note as
+    * q_partitioned_roundtrip; the oracle computes from the source
+    * table directly, so it does NOT read the scratch path (no verify
+    * interleaving hazard). */
+  val dppPath = "/tmp/graft_dpp/orders"
+  val qJoinDpp = Q(
+    "q_join_dpp",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      load(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dppPath)
+      val fact = spark.read.parquet(dppPath)
+      val dim = load(spark, dir, "orders")
+        .select(year(col("o_orderdate")).as("o_year")).distinct()
+        .withColumn("is_even", pmod(col("o_year"), lit(2)) === 0)
+      fact
+        .join(broadcast(dim.filter(col("is_even"))), Seq("o_year"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders
+      WHERE year(o_orderdate) % 2 = 0
+      GROUP BY 1"""),
+    "Dynamic partition pruning: dim filter prunes fact partitions at runtime")
+
   val all: Seq[Q] = Seq(qJoinBroadcastLeft, qJoinAnti, qJoinSemi,
     qResolutionFuzzy, qUnionAllowMissing, qDimBuild, qFactAssembly, qDateDim,
-    qJoinBucketed, qJoinFullOuter)
+    qJoinBucketed, qJoinFullOuter, qJoinDpp)
 }

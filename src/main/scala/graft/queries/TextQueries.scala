@@ -1945,15 +1945,18 @@ object TextQueries {
     "q_collocations",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val w = words(col("text"))
-      val bi = Tables.load(spark, dir, "documents")
-        .select(explode(when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("w1"),
-              element_at(w, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("b"))
-        .select(col("b.w1"), col("b.w2"))
+      // project the words array BEFORE the index explode: inside a
+      // transform lambda every element_at(words(text), i) re-inlines
+      // the full split per element (the round-1 nested-expression
+      // trap — measured 7.8 s → ~1 s at sf0.1); after the Generate
+      // the array is a materialized column evaluated once per row
+      val d0 = Tables.load(spark, dir, "documents")
+        .select(words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val bi = d0
+        .select(explode(expr("sequence(1, size(w) - 1)")).as("i"), col("w"))
+        .select(expr("element_at(w, i)").as("w1"),
+          expr("element_at(w, i + 1)").as("w2"))
       val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))

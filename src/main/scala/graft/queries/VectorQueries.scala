@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -636,30 +637,34 @@ object VectorQueries {
     * lineage contains the flatMapGroups kernel.
     * Scale: pairs are bucket-quadratic (bounded by bucket size), edges
     * ≤ 3N after the window — every later stage is linear in N. */
-  val qKnnGraph = Q(
-    "q_knn_graph",
-    (spark, dir) => {
-      Tables.ensureConf(spark)
-      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
-        .select(col("vec_id"), col("vn"))
-        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
-      val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
-      val directed = pairs
-        .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_bp"))
-        .unionByName(pairs
-          .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_bp")))
-      val w = Window.partitionBy("src")
-        .orderBy(col("cos_bp").desc, col("dst").asc)
-      val top = directed.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      top.as("x").join(top.as("y"),
-          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
-        .filter(col("x.src") < col("x.dst"))
-        .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
-          col("x.cos_bp").as("cos_bp"))
-    },
-    Some(s"""WITH $sqlNormalizedCte,
+  /** Mutual-kNN edges (the q_knn_graph construction), reused by the
+    * semantic-clusters composition. The top-k frame is persisted: the
+    * mutual self-join reads it twice and its lineage holds the
+    * flatMapGroups kernel. */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+      .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+    val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
+    val directed = pairs
+      .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_bp"))
+      .unionByName(pairs
+        .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_bp")))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_bp").desc, col("dst").asc)
+    val top = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    top.as("x").join(top.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.cos_bp").as("cos_bp"))
+  }
+
+  /** The mutual-top-3 edge list as DuckDB CTEs, shared by the
+    * q_knn_graph oracle and the recursive clusters oracle. */
+  private def knnSqlCtes: String = s"""$sqlNormalizedCte,
     pp AS (
       SELECT vec_id, p,
         list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
@@ -681,13 +686,58 @@ object VectorQueries {
     t AS (SELECT src, dst, cos_bp,
       row_number() OVER (PARTITION BY src ORDER BY cos_bp DESC, dst) AS rk
       FROM d),
-    tk AS (SELECT * FROM t WHERE rk <= 3)
+    tk AS (SELECT * FROM t WHERE rk <= 3)"""
+
+  val qKnnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      knnEdges(spark, dir)
+    },
+    Some(s"""WITH $knnSqlCtes
     SELECT x.src AS vec_a, x.dst AS vec_b, x.cos_bp AS cos_bp
     FROM tk x JOIN tk y ON x.src = y.dst AND x.dst = y.src
     WHERE x.src < x.dst"""),
     "Mutual kNN graph (k=3) from LSH-bucketed candidates")
 
+  /** Semantic clustering as a composition of two proven parts: the
+    * mutual-kNN edge structure (above) fed into the large-star/
+    * small-star connected-components machinery of the dedup family
+    * (`ops.Components`) — how manifold-style corpus clustering
+    * actually runs at scale (edges are ≤ 3N after the top-k window;
+    * the component loop is O(log n) rounds of key-partitioned joins
+    * with a localCheckpoint barrier per round). Output is the
+    * per-vector cluster assignment (cluster = min vec_id of the
+    * component), oracled by the exact recursive transitive closure
+    * over the SAME edge CTEs — composition proven end-to-end, not
+    * assumed from part-wise greens. */
+  val qSemanticClusters = Q(
+    "q_semantic_clusters",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val edges = knnEdges(spark, dir)
+        .select(col("vec_a").as("u"), col("vec_b").as("v"))
+      graft.ops.Components.connectedComponents(edges)
+        .select(col("vtx").as("vec_id"), col("comp").as("cluster"))
+    },
+    Some(s"""WITH RECURSIVE $knnSqlCtes,
+    mut AS (
+      SELECT x.src AS a, x.dst AS b
+      FROM tk x JOIN tk y ON x.src = y.dst AND x.dst = y.src
+      WHERE x.src < x.dst),
+    edges AS (
+      SELECT a AS u, b AS v FROM mut
+      UNION
+      SELECT b AS u, a AS v FROM mut),
+    reach(v, r) AS (
+      SELECT u AS v, u AS r FROM edges
+      UNION
+      SELECT e.u AS v, reach.r
+      FROM edges e JOIN reach ON reach.v = e.v)
+    SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"""),
+    "Semantic clusters: mutual-kNN edges -> connected components")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
-    qSemanticDedup, qRrfHybrid, qKnnGraph)
+    qSemanticDedup, qRrfHybrid, qKnnGraph, qSemanticClusters)
 }

@@ -540,6 +540,44 @@ class CurationSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("q_semantic_clusters is consistent with the mutual-kNN edge set") {
+    import spark.implicits._
+    val clusters = q("q_semantic_clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty, "no clusters at fixture scale")
+    val edges = q("q_knn_graph")
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+    // every edge's endpoints share a cluster; every clustered vertex
+    // appears in some edge; cluster label = min member id
+    edges.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) crosses clusters")
+    }
+    val inEdges = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(clusters.keySet == inEdges)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label label != min member")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("q_audio_frames: frame sums recombine to q_multimodal_audio sample sums") {
+    import spark.implicits._
+    val byDoc = q("q_audio_frames")
+      .groupBy("doc_id").agg(sum(col("frame_sum")).as("s"),
+        sum(col("n_vals")).as("nv"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val full = q("q_multimodal_audio")
+      .select(col("doc_id"), col("sample_sum"),
+        (col("n_samples") * col("channels")).cast("long").as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(full.nonEmpty)
+    full.foreach { case (id, ss, m) =>
+      assert(byDoc(id) == ((ss, m)),
+        s"doc $id: frames ${byDoc(id)} != full ($ss, $m)")
+    }
+  }
+
   test("q_text_entropy: uniform docs score ln(n_types), repetitive docs score 0") {
     import spark.implicits._
     val rows = q("q_text_entropy")

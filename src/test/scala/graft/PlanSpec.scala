@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * cluster run. */
 class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
+  private val dppSubdir = "graft_dpp"
 
   private def planString(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
@@ -497,6 +498,19 @@ class PlanSpec extends SparkSpec {
     val plan = planString("q_bloom_sharded")
     assert(plan.contains("graft_bloom_sharded"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_join_dpp: fact scan carries a dynamic pruning partition filter") {
+    val ss = scans("q_join_dpp")
+    val factScans = ss.filter(_.toString.contains(dppSubdir))
+    assert(factScans.nonEmpty, s"no scan over the partitioned fact in\n$ss")
+    assert(factScans.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      factScans.map(_.toString).mkString("\n"))
+  }
+
+  test("q_audio_frames decodes and windows without any shuffle") {
+    val plan = planString("q_audio_frames")
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("q_cdc_apply: id-only anti join + changes-sized upsert, no cartesian") {
