@@ -488,8 +488,63 @@ object CoreQueries {
       FROM documents"""),
     "parse_url HOST/PATH/QUERY-param extraction + registrable domain")
 
+  /** URL canonicalization + dedup — the first dedup any web corpus
+    * runs (before any content hashing): case-fold the scheme/host,
+    * strip tracking parameters, then group by the canonical form and
+    * keep the first (min doc_id) member. Seeded variants prove each
+    * rule fires: doc_id%7 gets an UPPERCASED host (case-folded away),
+    * doc_id%5 gets `&utm_*` junk (regex-stripped away), and the path
+    * keys on doc_id%250 so ~N/250 docs genuinely collide
+    * post-canonicalization at every SF. Survivorship is a window min
+    * over the canonical key — one key-partitioned shuffle, no skew
+    * (canonical cardinality tracks the corpus).
+    * A production canonicalizer adds host IDN folding and path
+    * normalization; the regex-strip + case-fold here is the
+    * engine-visible shape. */
+  val qUrlCanonical = Q(
+    "q_url_canonical",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import org.apache.spark.sql.expressions.Window
+      val raw = load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("url", concat(
+          lit("https://"),
+          when(pmod(col("doc_id"), lit(7)) === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".example.com/"), col("lang"),
+          lit("/page/"), pmod(col("doc_id"), lit(250)),
+          lit("?ref=r"), pmod(col("doc_id"), lit(3)),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("&utm_source=feed&utm_campaign=x")).otherwise(lit(""))))
+        .withColumn("canonical_url",
+          regexp_replace(lower(col("url")), "&utm_[a-z]+=[^&]*", ""))
+      val w = Window.partitionBy("canonical_url")
+      raw.withColumn("owner", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_url"), col("owner"),
+          (col("doc_id") =!= col("owner")).cast("int").as("is_dup"))
+    },
+    Some("""WITH r AS (
+        SELECT doc_id,
+          'https://' ||
+          CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END ||
+          '.example.com/' || lang || '/page/' || (doc_id % 250) ||
+          '?ref=r' || (doc_id % 3) ||
+          CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed&utm_campaign=x'
+            ELSE '' END AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+          regexp_replace(lower(url), '&utm_[a-z]+=[^&]*', '', 'g') AS canonical_url
+        FROM r)
+      SELECT doc_id, canonical_url,
+        MIN(doc_id) OVER (PARTITION BY canonical_url) AS owner,
+        CAST(doc_id != MIN(doc_id) OVER (PARTITION BY canonical_url) AS INTEGER)
+          AS is_dup
+      FROM c"""),
+    "URL canonicalization (case-fold + tracking-param strip) + keep-first dedup")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
     qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip,
-    qJsonlScan, qOrcRoundtrip, qUrlExtract)
+    qJsonlScan, qOrcRoundtrip, qUrlExtract, qUrlCanonical)
 }

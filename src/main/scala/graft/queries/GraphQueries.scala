@@ -134,7 +134,20 @@ object GraphQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val directed = handoffEdges(spark, dir)
-      val und = directed
+      // seeded cliques: users u ≡ 0 (mod 97) contribute the triangle
+      // {u, u+1, u+2}. The organic handoff chains stop closing wedges
+      // at larger SFs (key-offset copies interleave in the same time
+      // window), which left the sf1 result an empty — green but
+      // vacuous — row; the seeds guarantee triangles at EVERY SF, the
+      // dq_audit convention of proving the operator fires. Mirrored
+      // verbatim in the oracle.
+      val seeds = load(spark, dir, "events")
+        .select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(97)) === 0)
+      val clique = seeds.select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+        .unionAll(seeds.select((col("user_id") + 1).as("src"), (col("user_id") + 2).as("dst")))
+        .unionAll(seeds.select(col("user_id").as("src"), (col("user_id") + 2).as("dst")))
+      val und = directed.unionByName(clique)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
@@ -169,8 +182,14 @@ object GraphQueries {
           lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
             ORDER BY ts, event_id) AS dst
         FROM events),
-      dedges AS (SELECT DISTINCT user_id AS src, dst FROM seq
+      dedges0 AS (SELECT DISTINCT user_id AS src, dst FROM seq
         WHERE dst IS NOT NULL AND dst != user_id),
+      seeds AS (SELECT DISTINCT user_id AS u FROM events WHERE user_id % 97 = 0),
+      dedges AS (
+        SELECT src, dst FROM dedges0
+        UNION ALL SELECT u, u + 1 FROM seeds
+        UNION ALL SELECT u + 1, u + 2 FROM seeds
+        UNION ALL SELECT u, u + 2 FROM seeds),
       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM dedges),
       deg AS (SELECT node, COUNT(*) AS d FROM (

@@ -439,6 +439,81 @@ object StreamQueries {
     FROM s GROUP BY user_id, session_seq"""),
     "Stateful streaming sessionization == batch window sessionizer (parity oracle)")
 
+  /** Watermarked WINDOW-AGGREGATE parity — the first streaming shape
+    * anyone writes (tumbling-window counts in Append mode) proven
+    * equal to the batch plan it shares
+    * ([[graft.streaming.EventOps.windowedCounts]] is literally the
+    * same function both ways). Append mode only emits a window once
+    * the watermark passes its end, so a final sentinel event (2 hours
+    * past the real maximum, one synthetic row) pushes the watermark
+    * beyond every real window; the sentinel's own window stays open
+    * and unemitted. Events arrive as 4 chronological micro-batches —
+    * windows spanning a cut accumulate state across batches before
+    * closing, which is the aggregation-state carry-over this parity
+    * pins (the sessionization twin pins the arbitrary-state path).
+    * The oracle is the batch q_events_window SQL verbatim. Same
+    * LOCAL-MODE scratch-path note as the other parities. */
+  val winRoot = "/tmp/graft_stream_win"
+
+  val qStreamWindowParity = Q(
+    "q_stream_window_parity",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val inDir = s"$winRoot/in"
+      val outDir = s"$winRoot/out"
+      val ckDir = s"$winRoot/ck"
+      val fs = new Path(winRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(winRoot), true)
+
+      val ev = load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (tMin, tMax) = ev.agg(
+        min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .as[(Long, Long)].collect().head
+      val step = math.max(1L, (tMax - tMin + 4) / 4)
+      (0 until 4).foreach { i =>
+        val lo = tMin + i * step
+        val hi = if (i == 3) tMax + 1 else tMin + (i + 1) * step
+        ev.filter(col("ts").cast("long") >= lo && col("ts").cast("long") < hi)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      // sentinel pushes the watermark past every real window
+      spark.range(1)
+        .select(lit(-1L).as("event_id"),
+          lit(tMax + 7200L).cast("timestamp").as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+      withStatePartitions(spark, 8) {
+        val stream = spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val q = graft.streaming.EventOps
+          .streamingWindowedCounts(stream, "1 hour", "1 second")
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir)
+    },
+    // the batch q_events_window oracle, verbatim — parity is the point
+    Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2"""),
+    "Watermarked streaming window aggregate == the batch window plan (parity oracle)")
+
   val all: Seq[Q] = Seq(qStreamBatchParity, qStreamScd2Parity,
-    qStreamWatermarkDedup, qStreamStreamJoin, qStreamSessionParity)
+    qStreamWatermarkDedup, qStreamStreamJoin, qStreamSessionParity,
+    qStreamWindowParity)
 }

@@ -1989,6 +1989,45 @@ object TextQueries {
     ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 20"""),
     "PMI collocations: integer cross-multiplied ratio rank, one corpus shuffle")
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009) —
+    * fixed-width ML feature vectors with NO vocabulary pass: each
+    * token hashes to one of D=1024 dimensions, with a sign bit from
+    * an independent hash bit so collisions cancel in expectation
+    * (unbiased inner products, the property that makes the trick
+    * usable). Output is the sparse (doc_id, dim, feature_val) triple
+    * — dims whose signed counts cancel to 0 are kept, mirroring the
+    * plain GROUP BY. Hash = first 60 md5 bits (the engine-portable
+    * stringHash convention): dim = h mod D, sign = bit 10.
+    * Scale: row-local hashing + ONE combinable shuffle on
+    * (doc_id, dim); no vocabulary table, no second pass — exactly why
+    * the trick exists at corpus scale. */
+  val qFeatureHash = Q(
+    "q_feature_hash",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      d.select(col("doc_id"),
+          pmod(col("h"), lit(1024L)).as("dim"),
+          when(pmod(shiftright(col("h"), 10), lit(2L)) === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(sum(col("sgn")).as("feature_val"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      u AS (SELECT doc_id, unnest(w) AS word FROM t),
+      h AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM u)
+      SELECT doc_id, h % 1024 AS dim,
+        CAST(SUM(CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+          AS feature_val
+      FROM h GROUP BY 1, 2"""),
+    "Feature hashing: signed 1024-dim sparse vectors, no vocabulary pass")
+
   /** Word-level Shannon entropy per document — the information-density
     * quality signal (low entropy = repetitive/templated text, the same
     * family as q_text_repetition but distribution-based): for each doc,
@@ -2039,5 +2078,5 @@ object TextQueries {
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
-    qBloomSharded)
+    qBloomSharded, qFeatureHash)
 }

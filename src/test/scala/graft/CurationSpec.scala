@@ -456,7 +456,14 @@ class CurationSpec extends SparkSpec {
   test("q_triangle_count equals a brute-force triple-join reference") {
     import spark.implicits._
     // reference: id-ordered triple join a<b<c — O(m^3)-ish, test-scale only
-    val und = queries.GraphQueries.handoffEdges(spark, dir)
+    // (same seeded cliques as the registered query: u%97==0 → {u,u+1,u+2})
+    val seeds = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(97)) === 0)
+    val clique = seeds.select(col("user_id").as("src"), (col("user_id") + 1).as("dst"))
+      .unionAll(seeds.select((col("user_id") + 1).as("src"), (col("user_id") + 2).as("dst")))
+      .unionAll(seeds.select(col("user_id").as("src"), (col("user_id") + 2).as("dst")))
+    val und = queries.GraphQueries.handoffEdges(spark, dir).unionByName(clique)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().persist()

@@ -500,6 +500,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_feature_hash: row-local hashing, one combinable shuffle, no joins") {
+    val plan = planString("q_feature_hash")
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q_join_dpp: fact scan carries a dynamic pruning partition filter") {
     val ss = scans("q_join_dpp")
     val factScans = ss.filter(_.toString.contains(dppSubdir))
