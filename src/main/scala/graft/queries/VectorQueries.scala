@@ -710,7 +710,13 @@ object VectorQueries {
     * per-vector cluster assignment (cluster = min vec_id of the
     * component), oracled by the exact recursive transitive closure
     * over the SAME edge CTEs — composition proven end-to-end, not
-    * assumed from part-wise greens. */
+    * assumed from part-wise greens.
+    * The recursive oracle is GATE-SCALE only: reach accumulates
+    * |C|² (vertex, root) pairs per component, so a 1860-member sf1
+    * cluster makes the DuckDB closure blow up — precisely why the
+    * engine side runs large-star/small-star instead. sf1 evidence is
+    * an exact union-find differential over the sf1 edge list
+    * (DEVLOG round 4f: 18600 vertices, 504 clusters, byte-equal). */
   val qSemanticClusters = Q(
     "q_semantic_clusters",
     (spark, dir) => {
