@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, EventQueries, GraphQueries, JoinQueries, StarQueries, StatQueries, StreamQueries, TextQueries, VectorQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, EventQueries, GraphQueries, JoinQueries, SimilarityQueries, StarQueries, StatQueries, StreamQueries, TextQueries, VectorQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,7 +11,7 @@ object SparkEntry {
     CoreQueries.all ++ JoinQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ AnalyticsQueries.all ++ StarQueries.all ++
       StreamQueries.all ++ GraphQueries.all ++ WarehouseQueries.all ++
-      StatQueries.all
+      StatQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Star-style: deterministic newest-order-per-customer dedup

@@ -543,8 +543,44 @@ object CoreQueries {
       FROM c"""),
     "URL canonicalization (case-fold + tracking-param strip) + keep-first dedup")
 
+  /** Deterministic content-hash holdout split (train/val/test at
+    * 90/5/5): bucket = md5(doc_id) mod 100 — the split every training
+    * pipeline needs to be REPRODUCIBLE across runs, engines, and
+    * re-shards (a random() split is none of those). Hash-of-id rather
+    * than id-range keeps the split uncorrelated with crawl order or
+    * any id-embedded attribute. Output is the per-split contract
+    * (counts + id checksum); the per-doc assignment is the same
+    * projection without the final aggregate.
+    *
+    * Scale: row-local hash + one 3-group combinable aggregate — no
+    * shuffle of data rows, no driver participation. Disjointness and
+    * exhaustiveness are structural (CASE on one bucket value);
+    * OpsSpec pins both anyway. */
+  val qSplitHoldout = Q(
+    "q_split_holdout",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents")
+      val bucket = pmod(graft.ops.TextOps.stringHash(col("doc_id").cast("string")), lit(100))
+      d.select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+    },
+    Some("""WITH b AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 2147483647 % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM b GROUP BY 1"""),
+    "Deterministic md5-bucket train/val/test holdout split (90/5/5)")
+
   val all: Seq[Q] = Seq(q1PricingSummary, qDedupLatest, qDateParseMulti,
     qDateParseYy, qSurrogateKeys, qMisalignRepair, qArrayModelWords,
     qDistinctKeys, qTopkGlobal, qCounts, qCsvScan, qPartitionedRoundtrip,
-    qJsonlScan, qOrcRoundtrip, qUrlExtract, qUrlCanonical)
+    qJsonlScan, qOrcRoundtrip, qUrlExtract, qUrlCanonical, qSplitHoldout)
 }

@@ -249,6 +249,129 @@ object StatQueries {
         CAST(MIN(o_day) AS VARCHAR), CAST(MAX(o_day) AS VARCHAR) FROM o"""),
     "Per-column table profile: count/nulls/distinct/min/max, pruned scans")
 
+  /** Robust outlier screen: per-segment median + MAD (median absolute
+    * deviation) — the screen that, unlike q_anomaly_zscore's moments,
+    * a few extreme rows cannot drag (50% breakdown point vs 0).
+    * Medians are EXACT lower medians (value at rank (n+1) div 2),
+    * defined identically in both engines — never an averaged even-n
+    * median, which would leave integer space.
+    *
+    * Scale: segments = (status, year) so per-segment sorts
+    * parallelize; the two window passes shuffle by segment once each
+    * (exact per-group medians are inherently a per-group sort — at
+    * extreme per-segment cardinality swap in the approx-percentile
+    * sketch, the q_approx_sketches path). The tiny (segment-count-
+    * sized) median/MAD tables broadcast back; flags and counts are
+    * pure integer arithmetic. */
+  val qAnomalyMad = Q(
+    "q_anomaly_mad",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val base = load(spark, dir, "orders").select(
+        col("o_orderstatus").as("seg"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        cents("o_totalprice").as("cents"))
+      val wO = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg", "yr").orderBy(col("cents").asc)
+      val wP = org.apache.spark.sql.expressions.Window.partitionBy("seg", "yr")
+      val r1 = base.withColumn("rn", row_number().over(wO))
+        .withColumn("n", count(lit(1)).over(wP))
+      val med = r1.filter(col("rn") === expr("(n+1) div 2"))
+        .select(col("seg"), col("yr"), col("cents").as("med"), col("n"))
+      val dv = base.join(broadcast(med), Seq("seg", "yr"))
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg", "yr").orderBy(col("dev").asc)
+      val mad = dv.withColumn("rn2", row_number().over(wD))
+        .filter(col("rn2") === expr("(n+1) div 2"))
+        .select(col("seg"), col("yr"), col("dev").as("mad"))
+      dv.join(broadcast(mad), Seq("seg", "yr"))
+        .groupBy("seg", "yr")
+        .agg(max("n").as("n"), max("med").as("med_cents"),
+          max("mad").as("mad_cents"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+    },
+    Some("""WITH b AS (
+      SELECT o_orderstatus AS seg, year(CAST(o_orderdate AS DATE)) AS yr,
+        CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+    r AS (
+      SELECT seg, yr, cents,
+        row_number() OVER (PARTITION BY seg, yr ORDER BY cents) AS rn,
+        COUNT(*) OVER (PARTITION BY seg, yr) AS n
+      FROM b),
+    m AS (SELECT seg, yr, cents AS med, n FROM r WHERE rn = (n+1)//2),
+    dv AS (
+      SELECT b.seg, b.yr, abs(b.cents - m.med) AS dev, m.med, m.n
+      FROM b JOIN m USING (seg, yr)),
+    r2 AS (
+      SELECT seg, yr, dev, med, n,
+        row_number() OVER (PARTITION BY seg, yr ORDER BY dev) AS rn2
+      FROM dv),
+    md AS (SELECT seg, yr, dev AS mad FROM r2 WHERE rn2 = (n+1)//2)
+    SELECT dv.seg, dv.yr, MAX(dv.n) AS n, MAX(dv.med) AS med_cents,
+      MAX(md.mad) AS mad_cents,
+      CAST(SUM(CASE WHEN dv.dev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dv JOIN md ON dv.seg = md.seg AND dv.yr = md.yr
+    GROUP BY dv.seg, dv.yr"""),
+    "Robust median/MAD outlier screen (exact lower medians, integer flags)")
+
+  /** Chi-square test of independence between two categorical corpus
+    * attributes (lang × source) — the data-profiling check for "is my
+    * language mix confounded with my source mix", i.e. whether
+    * per-source sampling will silently skew the language balance.
+    *
+    * chi2 = Σ (o - e)²/e with e = rowtot·coltot/n. Every per-cell
+    * contribution is rounded to e4 BEFORE the integer sum (the
+    * lm_perplexity convention), so the statistic is merge-order
+    * independent and hash-exact. dof = (|lang|-1)·(|source|-1).
+    *
+    * Scale: one combinable aggregate builds the contingency cells;
+    * row/col totals re-aggregate the CELLS (category-count-sized,
+    * never the corpus) and broadcast back; the single 1-row grand
+    * total crosses as the one allowed broadcast nested loop. */
+  val qChiSquare = Q(
+    "q_chi_square",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val cells = load(spark, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rt = cells.groupBy("lang").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("source").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+      val contrib = round(lit(10000.0) *
+        (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+        .cast("long")
+      cells
+        .join(broadcast(rt), Seq("lang"))
+        .join(broadcast(ct), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+          contrib.as("c_e4"))
+        .groupBy("n", "dof")
+        .agg(sum(col("c_e4")).as("chi2_e4"))
+    },
+    Some("""WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM cells)
+    SELECT t.n, (t.nl - 1) * (t.ns - 1) AS dof,
+      CAST(SUM(CAST(round(10000.0
+        * (c.o::DOUBLE - r.rt::DOUBLE * x.ct::DOUBLE / t.n::DOUBLE)
+        * (c.o::DOUBLE - r.rt::DOUBLE * x.ct::DOUBLE / t.n::DOUBLE)
+        / (r.rt::DOUBLE * x.ct::DOUBLE / t.n::DOUBLE)) AS BIGINT))
+        AS BIGINT) AS chi2_e4
+    FROM cells c
+    JOIN rt r ON c.lang = r.lang
+    JOIN ct x ON c.source = x.source
+    CROSS JOIN tot t
+    GROUP BY t.n, (t.nl - 1) * (t.ns - 1)"""),
+    "Chi-square independence test lang x source (cell-rounded integer statistic)")
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qQuantileBins, qHistogram,
-    qKAnonymity, qTableProfile)
+    qKAnonymity, qTableProfile, qAnomalyMad, qChiSquare)
 }

@@ -2069,6 +2069,61 @@ object TextQueries {
       FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1"""),
     "Per-doc word-distribution Shannon entropy in nat-bp (quality signal)")
 
+  /** Ordered sentence segmentation — the RAG/preprocessing step
+    * between documents and chunking: split on terminal punctuation
+    * runs ([.!?]+ plus trailing whitespace), keep the ORDER as an
+    * explicit index, drop empty segments (leading/trailing
+    * delimiters). The index is the position in the raw split, so it
+    * is stable under the empty-segment filter and identical in both
+    * engines without any window pass.
+    *
+    * The fixture corpus carries NO punctuation (verified: zero docs
+    * match [.!?]), so sentence boundaries are synthesized first — a
+    * period after every 8th word, mirrored in the oracle — making
+    * the split non-vacuous (4-15 sentences/doc) while the segmenting
+    * path under test stays the real regex split + posexplode + empty
+    * filter a punctuated corpus would take (the trailing '.' also
+    * exercises the empty-tail filter on every row).
+    *
+    * Scale: entirely row-local — no shuffle anywhere; sentence rows
+    * multiply only after the full-document text column is dropped
+    * from the projection. */
+  val qSentenceSplit = Q(
+    "q_sentence_split",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val punct = d
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), expr(
+          """concat(concat_ws('. ',
+               transform(sequence(0, (size(w)+7) div 8 - 1),
+                 c -> concat_ws(' ', slice(w, c*8+1, 8)))), '.')""").as("pt"))
+      punct
+        .select(col("doc_id"),
+          posexplode(split(col("pt"), "[.!?]+\\s*")).as(Seq("pos", "sent")))
+        .filter(trim(col("sent")) =!= "")
+        .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+          trim(col("sent")).as("sentence"),
+          size(split(trim(col("sent")), "\\s+")).cast("long").as("n_words"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        array_to_string([array_to_string(w[c*8+1:c*8+8], ' ')
+          FOR c IN generate_series(0, (len(w)+7)//8 - 1)], '. ') || '.' AS pt
+      FROM d),
+    s AS (SELECT doc_id, regexp_split_to_array(pt, '[.!?]+\s*') AS ss FROM p),
+    e AS (SELECT doc_id, unnest(generate_series(1, len(ss))) AS pp, ss FROM s)
+    SELECT doc_id, CAST(pp - 1 AS BIGINT) AS sent_idx,
+      trim(ss[pp]) AS sentence,
+      CAST(len(string_split_regex(trim(ss[pp]), '\s+')) AS BIGINT) AS n_words
+    FROM e WHERE trim(ss[pp]) <> ''"""),
+    "Ordered sentence segmentation (row-local posexplode, stable indices)")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -2078,5 +2133,5 @@ object TextQueries {
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
-    qBloomSharded, qFeatureHash)
+    qBloomSharded, qFeatureHash, qSentenceSplit)
 }

@@ -743,7 +743,174 @@ object VectorQueries {
     SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"""),
     "Semantic clusters: mutual-kNN edges -> connected components")
 
+  /** Covariance of the first 8 embedding dimensions as a single-pass
+    * aggregate — the feature-stats primitive behind whitening / PCA
+    * preprocessing. Values go to exact integer micro-units first
+    * (float→double is exact, both engines round the same double), so
+    * every sum is associative and merge-order independent; the d²
+    * product sums accumulate as DECIMAL(38,0) (the q_stats_corr
+    * convention — BIGINT would overflow near n·1e12).
+    *
+    * Scale: ONE map-side-combinable aggregate over the corpus — d²+d+1
+    * accumulators, no shuffle of data rows, a 1-row result exploded to
+    * (i,j) pairs driver-free via stack(). cov_num = n·Σxy − Σx·Σy is
+    * the exact integer numerator (cov = cov_num / n² micro²); emitting
+    * the numerator keeps the compare exact with no double division. */
+  val qCovarianceMatrix: Q = {
+    val D = 8
+    val pairs = for { i <- 0 until D; j <- i until D } yield (i, j)
+    val sqlXs = (0 until D).map(i =>
+      s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS x$i")
+      .mkString(", ")
+    val sqlAggs = ((0 until D).map(i => s"CAST(SUM(x$i) AS BIGINT) AS s$i") ++
+      pairs.map { case (i, j) => s"CAST(SUM(x$i*x$j) AS DECIMAL(38,0)) AS p${i}_$j" })
+      .mkString(", ")
+    val sqlRows = pairs.map { case (i, j) =>
+      s"""SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, n,
+        s$i AS sx_i, s$j AS sx_j, p${i}_$j AS sxy,
+        CAST(CAST(p${i}_$j AS HUGEINT)*n - CAST(s$i AS HUGEINT)*s$j
+          AS DECIMAL(38,0)) AS cov_num FROM g"""
+    }.mkString("\n      UNION ALL ")
+    Q(
+      "q_covariance_matrix",
+      (spark, dir) => {
+        Tables.ensureConf(spark)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = load(spark, dir, "embeddings")
+        val xs = e.select((0 until D).map(i =>
+          round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
+            .cast("long").as(s"x$i")): _*)
+        val aggCols = Seq(count(lit(1)).as("n")) ++
+          (0 until D).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+          pairs.map { case (i, j) =>
+            sum((col(s"x$i") * col(s"x$j")).cast(dec)).as(s"p${i}_$j") }
+        val g = xs.agg(aggCols.head, aggCols.tail: _*)
+        val stackArgs = pairs.map { case (i, j) =>
+          s"CAST($i AS BIGINT), CAST($j AS BIGINT), s$i, s$j, p${i}_$j"
+        }.mkString(", ")
+        g.select(col("n"),
+          expr(s"stack(${pairs.length}, $stackArgs) AS (i, j, sx_i, sx_j, sxy)"))
+          .select(col("i"), col("j"), col("n"), col("sx_i"), col("sx_j"), col("sxy"),
+            ((col("sxy") * col("n")).cast(dec) -
+              (col("sx_i").cast(dec) * col("sx_j")).cast(dec)).cast(dec).as("cov_num"))
+      },
+      Some(s"""WITH xs AS (SELECT $sqlXs FROM embeddings),
+      g AS (SELECT COUNT(*) AS n, $sqlAggs FROM xs)
+      $sqlRows"""),
+      "Single-pass exact covariance of embedding dims (d^2 combinable integer sums)")
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims with a ±1
+    * sign matrix derived from a FIXED hash (parity of
+    * bit_count(i·1000003 + j·7919)) — no matrix to broadcast, no
+    * vocabulary pass, reproducible in any engine. The classic
+    * dimensionality-reduction front-end for ANN at corpus scale
+    * (Achlioptas 2003: ±1 entries preserve pairwise distances in
+    * expectation like Gaussian ones).
+    *
+    * Scale: completely row-local and shuffle-free; micro-unit longs
+    * keep every sum exact (|p_j| ≤ 64·1e6·0.6 ≪ 2^63). The 64
+    * element_at casts are materialized ONCE as named columns before
+    * the 16 sum expressions reference them — the round-1 nested-
+    * expression trap would otherwise inline each cast 16×. */
+  val qRandomProjection: Q = {
+    val InD = 64; val OutD = 16
+    def sgn(i: Int, j: Int): Int =
+      if (java.lang.Long.bitCount(i.toLong * 1000003L + j.toLong * 7919L) % 2 == 0) 1 else -1
+    val sqlXs = (0 until InD).map(i =>
+      s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT) AS x$i")
+      .mkString(", ")
+    val sqlProjs = (0 until OutD).map { j =>
+      (0 until InD).map(i => s"${if (sgn(i, j) > 0) "+" else "-"} x$i")
+        .mkString(" ") + s" AS p$j"
+    }.mkString(", ")
+    Q(
+      "q_random_projection",
+      (spark, dir) => {
+        Tables.ensureConf(spark)
+        val e = load(spark, dir, "embeddings")
+        val xs = e.select(col("vec_id") +: (0 until InD).map(i =>
+          round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
+            .cast("long").as(s"x$i")): _*)
+        val projs = (0 until OutD).map { j =>
+          (0 until InD).map(i =>
+            if (sgn(i, j) > 0) col(s"x$i") else -col(s"x$i"))
+            .reduce(_ + _).as(s"p$j")
+        }
+        xs.select(col("vec_id") +: projs: _*)
+      },
+      Some(s"""WITH xs AS (SELECT vec_id, $sqlXs FROM embeddings)
+      SELECT vec_id, $sqlProjs FROM xs"""),
+      "Johnson-Lindenstrauss +-1 projection 64->16 (hash-derived signs, shuffle-free)")
+  }
+
+  /** Semi-supervised label propagation over the mutual-kNN graph: a
+    * seed set (every 20th vector keeps its `label`) spreads by
+    * majority vote of labeled neighbors for 2 synchronous rounds —
+    * how a small amount of human labeling annotates a corpus-scale
+    * embedding space (Zhu & Ghahramani 2002). Deterministic by
+    * construction: votes break ties (count desc, label asc), rounds
+    * are synchronous, and already-labeled nodes are clamped.
+    *
+    * Scale: per round, one key-partitioned join (edges ⋈ labels) +
+    * one combinable vote aggregate + one per-node window — all keyed
+    * by vector id, nothing corpus²; edges are ≤ 3N (mutual top-3).
+    * The oracle replays both rounds as SQL CTEs over the same edge
+    * construction — composition proven end-to-end. */
+  val qLabelPropagation = Q(
+    "q_label_propagation",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import org.apache.spark.sql.expressions.Window
+      val em = load(spark, dir, "embeddings")
+      val seeds = em.filter(pmod(col("vec_id"), lit(20)) === 0)
+        .select(col("vec_id"), col("label").cast("long").as("lab"),
+          lit(0L).as("rnd"))
+      val mut = knnEdges(spark, dir).select(col("vec_a"), col("vec_b"))
+      val edges = mut.select(col("vec_a").as("u"), col("vec_b").as("v"))
+        .union(mut.select(col("vec_b").as("u"), col("vec_a").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def spread(lab: org.apache.spark.sql.DataFrame, r: Int): org.apache.spark.sql.DataFrame = {
+        val nbr = edges
+          .join(lab.select(col("vec_id").as("v"), col("lab")), Seq("v"))
+          .select(col("u"), col("lab"))
+        val unl = nbr.join(lab.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        val w = Window.partitionBy("u").orderBy(col("c").desc, col("lab").asc)
+        unl.groupBy("u", "lab").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("u").as("vec_id"), col("lab"), lit(r.toLong).as("rnd"))
+      }
+      val l1 = seeds.union(spread(seeds, 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l1.union(spread(l1, 2))
+    },
+    Some(s"""WITH $knnSqlCtes,
+    mut AS (
+      SELECT x.src AS a, x.dst AS b FROM tk x
+      JOIN tk y ON x.src = y.dst AND x.dst = y.src
+      WHERE x.src < x.dst),
+    ed AS (SELECT a AS u, b AS v FROM mut UNION ALL SELECT b AS u, a AS v FROM mut),
+    seeds AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS lab, CAST(0 AS BIGINT) AS rnd
+      FROM embeddings WHERE vec_id % 20 = 0),
+    v1 AS (
+      SELECT e.u, s.lab, COUNT(*) AS c FROM ed e JOIN seeds s ON e.v = s.vec_id
+      WHERE e.u NOT IN (SELECT vec_id FROM seeds) GROUP BY 1, 2),
+    r1 AS (
+      SELECT u AS vec_id, lab, CAST(1 AS BIGINT) AS rnd FROM v1
+      QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) = 1),
+    l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+    v2 AS (
+      SELECT e.u, s.lab, COUNT(*) AS c FROM ed e JOIN l1 s ON e.v = s.vec_id
+      WHERE e.u NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
+    r2 AS (
+      SELECT u AS vec_id, lab, CAST(2 AS BIGINT) AS rnd FROM v2
+      QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) = 1)
+    SELECT * FROM l1 UNION ALL SELECT * FROM r2"""),
+    "Semi-supervised label propagation (2 synchronous majority rounds, mutual-kNN)")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
-    qSemanticDedup, qRrfHybrid, qKnnGraph, qSemanticClusters)
+    qSemanticDedup, qRrfHybrid, qKnnGraph, qSemanticClusters,
+    qCovarianceMatrix, qRandomProjection, qLabelPropagation)
 }

@@ -601,4 +601,185 @@ class CurationSpec extends SparkSpec {
       if (nTyp == 1) assert(ent == 0)
     }
   }
+
+  test("q_simjoin_prefix equals brute-force exact Jaccard>=0.6 (no false negatives/positives)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // exact all-pairs over collected shingle sets — test-scope-only
+    // brute force, the completeness proof the prefix rule is judged by
+    val sets = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles3(TextOps.words(col("text")))).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.filter(_.nonEmpty).toSet }
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if inter * 5 >= (sa.size + sb.size - inter) * 3
+    } yield (a, b, inter.toLong)).toSet
+    val got = q("q_simjoin_prefix")
+      .select("doc_a", "doc_b", "shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"prefix join ${got.size} pairs vs brute ${expect.size}")
+    assert(got.nonEmpty) // non-vacuous at sf0.001
+  }
+
+  test("q_anomaly_mad matches a brute-force median/MAD per segment") {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus").as("seg"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(String, Int, Long)].collect()
+      .groupBy { case (s, y, _) => (s, y) }
+    val rows = q("q_anomaly_mad")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    rows.foreach { case (seg, yr, n, med, mad, nOut) =>
+      val cs = base((seg, yr)).map(_._3).toSeq
+      assert(n == cs.size)
+      val m = lowerMedian(cs)
+      assert(med == m, s"($seg,$yr) med $med != $m")
+      val dev = cs.map(c => math.abs(c - m))
+      val md = lowerMedian(dev)
+      assert(mad == md, s"($seg,$yr) mad $mad != $md")
+      assert(nOut == dev.count(_ > 3 * md))
+    }
+  }
+
+  test("q_covariance_matrix equals a direct two-pass covariance on collected vectors") {
+    import spark.implicits._
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.take(8).map(v => math.round(v.toDouble * 1e6)).toArray)
+    val n = vecs.length.toLong
+    val rows = q("q_covariance_matrix")
+      .select(col("i"), col("j"), col("n"), col("sxy").cast("string"),
+        col("cov_num").cast("string"))
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(rows.length == 36)
+    rows.foreach { case (i, j, nq, sxyS, covS) =>
+      assert(nq == n)
+      val sxy = vecs.map(v => BigInt(v(i.toInt)) * BigInt(v(j.toInt))).sum
+      val sx = vecs.map(v => BigInt(v(i.toInt))).sum
+      val sy = vecs.map(v => BigInt(v(j.toInt))).sum
+      assert(BigInt(sxyS) == sxy, s"($i,$j) sxy")
+      assert(BigInt(covS) == sxy * n - sx * sy, s"($i,$j) cov_num")
+    }
+  }
+
+  test("q_split_holdout: splits are disjoint, exhaustive, and md5-derived") {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L % 100L
+    }
+    val expect = ids.groupBy { id =>
+      val b = bucket(id)
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }.map { case (s, xs) => s -> ((xs.length.toLong, xs.sum)) }
+    val got = q("q_split_holdout")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, c) => s -> ((n, c)) }.toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == ids.length) // exhaustive
+    assert(got.keySet == Set("train", "val", "test")) // every split non-empty
+  }
+
+  test("q_sentence_split: sentences reassemble to the exact token stream, in order") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sents = q("q_sentence_split")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1)
+    assert(sents.nonEmpty)
+    sents.foreach { case (id, xs) =>
+      val ordered = xs.sortBy(_._2)
+      // indices strictly increasing, words recombine exactly
+      val rebuilt = ordered.flatMap(_._3.split("\\s+")).toSeq
+      assert(rebuilt == docs(id).filter(_.nonEmpty), s"doc $id reassembly")
+      ordered.foreach { case (_, _, s, nw) =>
+        assert(nw == s.split("\\s+").length)
+        assert(nw <= 8) // boundary every 8 words
+      }
+    }
+    // non-vacuous: multi-sentence docs exist
+    assert(sents.values.exists(_.length >= 3))
+  }
+
+  test("q_chi_square equals a direct recomputation from the contingency table") {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val chi = cells.map { case (l, s, o) =>
+      val e = rt(l).toDouble * ct(s).toDouble / n.toDouble
+      math.round(10000.0 * (o - e) * (o - e) / e)
+    }.sum
+    val dof = (rt.size - 1).toLong * (ct.size - 1).toLong
+    val Array((gotN, gotDof, gotChi)) = q("q_chi_square")
+      .as[(Long, Long, Long)].collect()
+    assert(gotN == n && gotDof == dof && gotChi == chi)
+    assert(chi > 0) // non-vacuous
+  }
+
+  test("q_label_propagation: seeds clamped, spread matches a sequential replay") {
+    import spark.implicits._
+    val seedMap = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val mut = q("q_knn_graph").select("vec_a", "vec_b")
+      .as[(Long, Long)].collect()
+    val adj = (mut ++ mut.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    val got = q("q_label_propagation")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == got.length) // one label per node
+    // sequential replay of the 2 synchronous rounds
+    var lab = seedMap
+    var expect = seedMap.map { case (k, v) => k -> ((v, 0L)) }
+    for (r <- 1 to 2) {
+      val newly = adj.keys.filterNot(lab.contains).flatMap { u =>
+        val votes = adj(u).flatMap(lab.get).groupBy(identity)
+          .map { case (l, v) => (l, v.size) }
+        if (votes.isEmpty) None
+        else Some(u -> votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      lab = lab ++ newly
+      expect = expect ++ newly.map { case (k, v) => k -> ((v, r.toLong)) }
+    }
+    assert(got.map { case (id, l, r) => id -> ((l, r)) }.toMap == expect)
+    assert(got.count(_._3 == 1L) > 0) // non-vacuous spread
+  }
+
+  test("q_random_projection recomputes from raw embeddings with the sign hash") {
+    import spark.implicits._
+    def sgn(i: Int, j: Int): Long =
+      if (java.lang.Long.bitCount(i.toLong * 1000003L + j.toLong * 7919L) % 2 == 0) 1L else -1L
+    val raw = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val rows = q("q_random_projection").collect()
+    assert(rows.length == raw.size)
+    rows.take(32).foreach { r =>
+      val id = r.getLong(0)
+      val x = raw(id).map(v => math.round(v.toDouble * 1e6)).toArray
+      (0 until 16).foreach { j =>
+        val want = (0 until 64).map(i => sgn(i, j) * x(i)).sum
+        assert(r.getLong(1 + j) == want, s"vec $id p$j")
+      }
+    }
+  }
 }

@@ -535,4 +535,58 @@ class PlanSpec extends SparkSpec {
       assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     }
   }
+
+  test("q_fuzzy_jaro: native scorer inside an equi block join, never a cross join") {
+    val plan = planString("q_fuzzy_jaro")
+    assert(plan.contains("graft_jaro_winkler"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_simjoin_prefix: candidate generation is equi-joins only (no all-pairs)") {
+    val plan = planString("q_simjoin_prefix")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_random_projection is entirely row-local (no shuffle)") {
+    val plan = planString("q_random_projection")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q_covariance_matrix: one combinable aggregate, no join, no Expand") {
+    val plan = planString("q_covariance_matrix")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Expand"), plan)
+    // partial + final aggregate = the d^2 sums combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_split_holdout: row-local hash + combinable aggregate, no join") {
+    val plan = planString("q_split_holdout")
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_sentence_split: row-local segmentation (no join, no aggregate)") {
+    val plan = planString("q_sentence_split")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate"), plan) // the posexplode
+  }
+
+  test("q_chi_square: cells-sized joins only; the single 1-row BNLJ is the grand total") {
+    val plan = planString("q_chi_square")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q_label_propagation: keyed joins and windows only, no cartesian") {
+    val plan = planString("q_label_propagation")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -296,4 +296,32 @@ class PropertySpec extends SparkSpec {
     assert(collisionProbability(sCurveThreshold(4, 2), 4, 2) > 0.4 &&
       collisionProbability(sCurveThreshold(4, 2), 4, 2) < 0.75)
   }
+
+  test("jaroWinklerKernel matches the published metric (DuckDB-validated values)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.TextExpressions.jaroWinklerKernel(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // classic textbook pairs — constants are DuckDB
+    // jaro_winkler_similarity outputs, so equality here IS the
+    // two-implementations-agree proof at unit level
+    assert(jw("martha", "marhta") == 0.9611111111111111)  // 1 transposition + prefix 3
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("aaaaaab", "aaaaaba") == 0.9714285714285714)
+    // prefix bonus caps at 4 chars
+    assert(jw("prefixes", "prefixesx") == 0.9777777777777777)
+    // below the 0.7 boost threshold the shared prefix earns NO bonus
+    assert(jw("abcdef", "abxxxx") == 0.5555555555555555)
+    // edges: DuckDB semantics — any empty side scores 0 (even both-empty);
+    // 1-char window is empty; 2-char transposition-only is 0 matches
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("a", "b") == 0.0 && jw("ab", "ba") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // symmetry on arbitrary pairs
+    forAll(Gen.zip(Gen.alphaStr, Gen.alphaStr)) { case (a: String, b: String) =>
+      assert(math.abs(jw(a, b) - jw(b, a)) < 1e-15)
+      val v = jw(a, b); assert(v >= 0.0 && v <= 1.0)
+    }
+  }
 }
