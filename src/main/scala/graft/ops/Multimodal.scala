@@ -46,24 +46,30 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-        val w = 1 + n % 64
-        val h = 1 + n % 48
-        val frames = 1 + n % 7
-        val out = new java.io.ByteArrayOutputStream()
-        var f = 0
-        while (f < frames) {
-          out.write(s"P6\n$w $h\n255\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          val px = ((id + f) % 256).toInt
-          val raster = new Array[Byte](w * h * 3)
-          java.util.Arrays.fill(raster, px.toByte)
-          out.write(raster)
-          f += 1
-        }
-        MediaRow(id, out.toByteArray, PpmMime)
-      }
+      .map { case (id, text) => MediaRow(id, buildPpmBytes(id, text), PpmMime) }
+  }
+
+  /** The deterministic P6 byte builder behind [[packPpm]], exposed so
+    * callers can key the CONTENT independently of the row id (the
+    * binary-dedup query synthesizes shared images across documents —
+    * content id = doc_id mod k — while keeping per-doc rows). */
+  def buildPpmBytes(id: Long, text: String): Array[Byte] = {
+    val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val w = 1 + n % 64
+    val h = 1 + n % 48
+    val frames = 1 + n % 7
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      out.write(s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val px = ((id + f) % 256).toInt
+      val raster = new Array[Byte](w * h * 3)
+      java.util.Arrays.fill(raster, px.toByte)
+      out.write(raster)
+      f += 1
+    }
+    out.toByteArray
   }
 
   /** Batched decode boundary: parses every payload as a concatenated

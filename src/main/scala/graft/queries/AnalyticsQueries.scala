@@ -875,10 +875,47 @@ object AnalyticsQueries {
     FROM z GROUP BY seg"""),
     "Per-segment z-score outlier screen: exact integer moments, bp-rounded z")
 
+  /** Lag-feature engineering — the per-entity temporal deltas every
+    * churn/LTV feature table starts with: days since the previous
+    * order, price delta vs previous, and the order's sequence number,
+    * all per customer. First orders carry typed NULL lags (a feature
+    * pipeline imputes downstream; fabricating zeros here would bias
+    * it). Integer end-to-end: day diffs and cent deltas.
+    *
+    * Scale: one window pass keyed by customer — the natural shuffle;
+    * lag/lead stream within the sorted partition, no buffering beyond
+    * one row. */
+  val qLagFeatures = Q(
+    "q_lag_features",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("order_seq"),
+          datediff(col("d"), lag(col("d"), 1).over(w)).cast("long")
+            .as("days_since_prev"),
+          (col("cents") - lag(col("cents"), 1).over(w)).as("delta_cents"))
+    },
+    Some("""WITH b AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+      CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      CAST(d - lag(d, 1) OVER w AS BIGINT) AS days_since_prev,
+      cents - lag(cents, 1) OVER w AS delta_cents
+    FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC)"""),
+    "Per-customer lag features (sequence, day gap, price delta; typed NULL firsts)")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
     qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
     qScd2Fold, qZorderCluster, qRangeLayout, qCmsHeavyHitters,
-    qAnomalyZscore)
+    qAnomalyZscore, qLagFeatures)
 }

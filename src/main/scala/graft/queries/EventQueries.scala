@@ -414,7 +414,132 @@ object EventQueries {
     FROM wins WHERE event_type = 'purchase'"""),
     "First/last-touch attribution over a trailing RANGE window, pack-string argmin")
 
+  /** Exact binary dedup of multimodal payloads — the image analog of
+    * q_dedup_exact: digest the bytes row-locally (md5 over the full
+    * payload), group by digest, keep one representative per class.
+    * The fixture synthesizes the realistic duplication pattern (a
+    * small set of images — logos, memes — reused across many
+    * documents): content id = doc_id mod 32 keys the bytes, so 32
+    * distinct payloads spread over the whole corpus.
+    *
+    * Correctness evidence: the oracle cannot hash bytes it cannot
+    * build, so it groups by the closed-form duplicate CLASS instead —
+    * md5-grouping matching class-grouping exactly (count, min, sum
+    * per group) proves the pack→digest→group pipeline collapses
+    * precisely the byte-identical payloads and nothing else (two
+    * classes always differ in their first frame's fill byte).
+    *
+    * Scale: digest is row-local in the batched decode pass; the
+    * group-by ships (16-byte digest, id) — payload bytes never
+    * shuffle. The rep join for the shared-content fixture broadcasts
+    * 32 rows. */
+  val qMultimodalDedup = Q(
+    "q_multimodal_dedup",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import spark.implicits._
+      val docs = load(spark, dir, "documents")
+      val reps = docs.filter(col("doc_id") < 32)
+        .select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
+      val packed = docs
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("rep_id"))
+        .join(broadcast(reps), Seq("rep_id"))
+        .select(col("rep_id"), col("doc_id"), col("rep_text"))
+        .as[(Long, Long, String)]
+        .map { case (rep, id, text) =>
+          (id, Multimodal.buildPpmBytes(rep, text)) }
+        .toDF("doc_id", "payload")
+      packed
+        .select(col("doc_id"), md5(col("payload")).as("digest"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("rep_doc_id"),
+          sum("doc_id").as("sum_doc_ids"))
+        .filter(col("n_copies") >= 2)
+        .select("n_copies", "rep_doc_id", "sum_doc_ids")
+    },
+    Some("""SELECT COUNT(*) AS n_copies, MIN(doc_id) AS rep_doc_id,
+      CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+      FROM documents GROUP BY doc_id % 32 HAVING COUNT(*) >= 2"""),
+    "Exact binary dedup of media payloads (md5 digest classes == closed-form classes)")
+
+  /** Sliding-window COUNT DISTINCT — 7-day windows of distinct active
+    * users, advanced daily. A rolling SUM of daily distincts would
+    * double-count users active on several days; true sliding distinct
+    * needs user identity inside the window. The scalable shape:
+    * shrink to per-(day, user) first (one combinable distinct), then
+    * explode each day into the ≤7 windows containing it and run one
+    * more distinct aggregate keyed by (window, user) — never a
+    * per-window scan of raw events, never a window function holding a
+    * user set in memory.
+    *
+    * Scale: explode ×7 happens AFTER the per-day dedup (days×users
+    * rows, not events); both aggregates are keyed shuffles. Window
+    * count W multiplies rows by W — at larger W switch to the
+    * sketched (HLL) variant, q_hll_rollup's merge path. */
+  val qSlidingDistinct = Q(
+    "q_sliding_distinct",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val ev = load(spark, dir, "events")
+      val dayUser = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      dayUser
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"),
+          date_add(date_sub(col("day"), 6), col("off")).as("window_start"))
+        .distinct()
+        .groupBy("window_start")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    w AS (
+      SELECT DISTINCT day - 6 + CAST(off AS INTEGER) AS window_start, user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS off))
+    SELECT window_start, COUNT(DISTINCT user_id) AS n_users
+    FROM w GROUP BY 1"""),
+    "True sliding-window count distinct (7-day windows, explode-after-dedup)")
+
+  /** Cohort retention matrix — the product-analytics staple: users
+    * grouped by first-seen week (cohort), activity counted as
+    * distinct users per (cohort, weeks-since-cohort). Written the
+    * scalable way: first-seen is one min-aggregate keyed by user;
+    * activity shrinks to per-(user, week) before the join; the
+    * matrix aggregate is combinable.
+    *
+    * Weeks are ISO date_trunc('week') in both engines (Monday
+    * start); offsets are exact integer day-diffs div 7. */
+  val qRetentionCohorts = Q(
+    "q_retention_cohorts",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val ev = load(spark, dir, "events")
+      val userWeek = ev
+        .select(col("user_id"), trunc(to_date(col("ts")), "week").as("week"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cohort = userWeek.groupBy("user_id").agg(min("week").as("cohort_week"))
+      userWeek.join(cohort, Seq("user_id"))
+        .select(col("cohort_week"),
+          expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)")
+            .as("week_offset"), col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+    SELECT c.cohort_week,
+      CAST((uw.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+      COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN c ON uw.user_id = c.user_id
+    GROUP BY 1, 2"""),
+    "Cohort retention matrix (first-seen week x weeks-since, distinct users)")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
     qMultimodalAudio, qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling,
-    qEventsFunnel, qEventsSliding, qJoinRange, qAttribution, qAudioFrames)
+    qEventsFunnel, qEventsSliding, qJoinRange, qAttribution, qAudioFrames,
+    qMultimodalDedup, qSlidingDistinct, qRetentionCohorts)
 }

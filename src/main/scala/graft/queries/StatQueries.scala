@@ -372,6 +372,69 @@ object StatQueries {
     GROUP BY t.n, (t.nl - 1) * (t.ns - 1)"""),
     "Chi-square independence test lang x source (cell-rounded integer statistic)")
 
+  /** Winsorization: clip each segment's values at its exact p5/p95 —
+    * the robust-preprocessing step that bounds heavy tails before
+    * moment-based features (means, covariances) are trusted.
+    * Percentile ranks are explicit integer formulas (lo = ⌈5n/100⌉,
+    * hi = ⌈95n/100⌉, values at those ranks in the sorted segment; 5/95
+    * rather than 1/99 so the caps bite even in the smallest gate-scale
+    * segments — the rank formula is the operator, the percentile is a
+    * parameter), so
+    * both engines select identical cap values with no interpolation
+    * semantics in play. Output is the per-segment clipping contract:
+    * caps, clip counts each side, and the exact winsorized sum.
+    *
+    * Scale: same shape as q_anomaly_mad — one per-segment rank pass
+    * (bounded (status, year) segments), caps broadcast back, clip +
+    * sum as one combinable aggregate. */
+  val qWinsorize = Q(
+    "q_winsorize",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val base = load(spark, dir, "orders").select(
+        col("o_orderstatus").as("seg"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        cents("o_totalprice").as("cents"))
+      val wO = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg", "yr").orderBy(col("cents").asc)
+      val wP = org.apache.spark.sql.expressions.Window.partitionBy("seg", "yr")
+      val ranked = base.withColumn("rn", row_number().over(wO))
+        .withColumn("n", count(lit(1)).over(wP))
+      val caps = ranked
+        .filter(col("rn") === expr("(n*5 + 99) div 100") ||
+          col("rn") === expr("(n*95 + 99) div 100"))
+        .groupBy("seg", "yr")
+        .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      base.join(broadcast(caps), Seq("seg", "yr"))
+        .groupBy("seg", "yr")
+        .agg(count(lit(1)).as("n"),
+          min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"),
+          sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+            .as("winsor_sum_cents"))
+    },
+    Some("""WITH b AS (
+      SELECT o_orderstatus AS seg, year(CAST(o_orderdate AS DATE)) AS yr,
+        CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+    r AS (
+      SELECT seg, yr, cents,
+        row_number() OVER (PARTITION BY seg, yr ORDER BY cents) AS rn,
+        COUNT(*) OVER (PARTITION BY seg, yr) AS n
+      FROM b),
+    caps AS (
+      SELECT seg, yr, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      FROM r WHERE rn = (n*5 + 99)//100 OR rn = (n*95 + 99)//100
+      GROUP BY 1, 2)
+    SELECT b.seg, b.yr, COUNT(*) AS n,
+      MIN(c.lo_cents) AS lo_cents, MIN(c.hi_cents) AS hi_cents,
+      CAST(SUM(CASE WHEN b.cents < c.lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      CAST(SUM(CASE WHEN b.cents > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      CAST(SUM(greatest(least(b.cents, c.hi_cents), c.lo_cents)) AS BIGINT) AS winsor_sum_cents
+    FROM b JOIN caps c ON b.seg = c.seg AND b.yr = c.yr
+    GROUP BY b.seg, b.yr"""),
+    "Winsorize at exact per-segment p5/p95 (integer rank caps, clip counts, exact sums)")
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qQuantileBins, qHistogram,
-    qKAnonymity, qTableProfile, qAnomalyMad, qChiSquare)
+    qKAnonymity, qTableProfile, qAnomalyMad, qChiSquare, qWinsorize)
 }

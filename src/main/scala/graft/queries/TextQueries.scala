@@ -2124,6 +2124,119 @@ object TextQueries {
     FROM e WHERE trim(ss[pp]) <> ''"""),
     "Ordered sentence segmentation (row-local posexplode, stable indices)")
 
+  /** Temperature-scaled source sampling weights (α = 0.5): the
+    * standard multilingual/multi-source rebalance — w_i ∝ p_i^α lifts
+    * rare sources without flattening the mix (α=1 is proportional,
+    * α→0 uniform). α is fixed at 1/2 so the power is `sqrt`, which
+    * IEEE-754 requires to be correctly rounded — both engines compute
+    * bit-identical doubles, unlike a libm `pow` whose last ulp could
+    * flip a rounding boundary. Per-source sqrt rounds to e6 BEFORE
+    * the integer normalization (round-then-sum convention), so the
+    * ppm weights are merge-order independent and hash-exact.
+    *
+    * Scale: one combinable aggregate to source counts (source-count-
+    * sized), then arithmetic on that tiny frame; the 1-row total is
+    * the single allowed broadcast nested loop. */
+  val qSamplingTemperature = Q(
+    "q_sampling_temperature",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val src = load(spark, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_e6", round(lit(1e6) * sqrt(col("n_docs"))).cast("long"))
+      val tot = src.agg(sum("s_e6").as("w_tot"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("s_e6"),
+          expr("(s_e6 * 1000000) div w_tot").as("w_ppm"))
+    },
+    Some("""WITH src AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(round(1e6 * sqrt(COUNT(*))) AS BIGINT) AS s_e6
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(s_e6) AS BIGINT) AS w_tot FROM src)
+    SELECT source, n_docs, s_e6, (s_e6 * 1000000) // w_tot AS w_ppm
+    FROM src CROSS JOIN tot"""),
+    "Temperature-scaled (alpha=1/2) source sampling weights in exact ppm")
+
+  /** Per-document n-gram novelty — the fraction of a doc's distinct
+    * 3-gram shingles whose FIRST occurrence (min doc_id over the
+    * corpus) is this doc. The curation signal that separates original
+    * content from recombined/boilerplate text, and the streaming-order
+    * analog of dedup: a near-copy of an earlier doc scores ~0.
+    *
+    * Scale: explode + one combinable min-aggregate keyed by shingle +
+    * one join back on the same key — two shuffles, the inverted-index
+    * shape of the jaccard family (string keys here; at corpus scale
+    * carry stringHash like q_dedup_ngram_jaccard). */
+  val qNgramNovelty = Q(
+    "q_ngram_novelty",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val tok = d.select(col("doc_id"),
+        explode(array_distinct(shingles3(words(col("text"))))).as("s"))
+        .filter(col("s") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = tok.groupBy("s").agg(min("doc_id").as("first_doc"))
+      tok.join(first, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 10000) div n_shingles").as("novelty_bp"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+        ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    tokf AS (SELECT doc_id, s FROM tok WHERE s <> ''),
+    f AS (SELECT s, MIN(doc_id) AS first_doc FROM tokf GROUP BY 1)
+    SELECT t.doc_id, COUNT(*) AS n_shingles,
+      CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      (CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+        // COUNT(*) AS novelty_bp
+    FROM tokf t JOIN f ON t.s = f.s GROUP BY t.doc_id"""),
+    "Per-doc shingle novelty vs the corpus (first-occurrence fraction, bp)")
+
+  /** Tokenizer fertility per language: BPE-ish tokens per byte —
+    * the statistic that tells a multilingual pipeline how much more
+    * compute a language costs per byte of corpus, and the standard
+    * input to sampling-ratio corrections. Integer end-to-end:
+    * fert_bp = (Σtokens · 10000) div Σbytes.
+    *
+    * Scale: row-local token counts (native-regex projection), one
+    * combinable aggregate keyed by lang. */
+  val qTokenizerFertility = Q(
+    "q_tokenizer_fertility",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      d.select(col("lang"),
+        bpeishTokenCount(col("text")).cast("long").as("tok"),
+        octet_length(col("text")).cast("long").as("bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+          sum("bytes").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+          expr("(n_tokens * 10000) div n_bytes").as("fert_bp"))
+    },
+    Some("""WITH t AS (
+      SELECT lang,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok,
+        CAST(strlen(text) AS BIGINT) AS bytes
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+      (CAST(SUM(tok) AS BIGINT) * 10000) // CAST(SUM(bytes) AS BIGINT) AS fert_bp
+    FROM t GROUP BY 1"""),
+    "Tokenizer fertility per language (BPE-ish tokens per byte, exact bp)")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -2133,5 +2246,6 @@ object TextQueries {
     qBm25Rank, qDedupComponents, qDedupApply, qBloomPrefilter,
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
-    qBloomSharded, qFeatureHash, qSentenceSplit)
+    qBloomSharded, qFeatureHash, qSentenceSplit, qSamplingTemperature,
+    qNgramNovelty, qTokenizerFertility)
 }

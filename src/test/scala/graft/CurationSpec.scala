@@ -764,6 +764,182 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_._3 == 1L) > 0) // non-vacuous spread
   }
 
+  test("q_sampling_temperature: exact ppm recomputation + rare-source lift property") {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val sE6 = counts.map { case (s, n) => s -> math.round(1e6 * math.sqrt(n.toDouble)) }
+    val w = sE6.values.sum
+    val got = q("q_sampling_temperature")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == counts.size)
+    got.foreach { case (s, n, se6, ppm) =>
+      assert(n == counts(s) && se6 == sE6(s))
+      assert(ppm == se6 * 1000000L / w)
+    }
+    // temperature lifts every below-average source ABOVE its
+    // proportional share (sqrt concavity), small integer slack
+    val total = counts.values.sum
+    got.filter { case (s, n, _, _) => n * counts.size < total }
+      .foreach { case (s, n, _, ppm) =>
+        assert(ppm * total >= n * 1000000L - total, s"source $s not lifted")
+      }
+  }
+
+  test("q_ngram_novelty equals a sequential first-seen replay; first doc scores 10000") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val sets = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles3(TextOps.words(col("text")))).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.filter(_.nonEmpty).toSet }
+    val firstSeen = sets.flatMap { case (id, sh) => sh.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).min }
+    val got = q("q_ngram_novelty")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == sets.count(_._2.nonEmpty))
+    val bySet = sets.toMap
+    got.foreach { case (id, nSh, nNov, bp) =>
+      val sh = bySet(id)
+      assert(nSh == sh.size)
+      val nov = sh.count(s => firstSeen(s) == id)
+      assert(nNov == nov, s"doc $id novel $nNov != $nov")
+      assert(bp == nov.toLong * 10000 / sh.size)
+    }
+    val minDoc = sets.filter(_._2.nonEmpty).map(_._1).min
+    assert(got.find(_._1 == minDoc).get._4 == 10000L)
+    assert(got.exists(_._4 < 10000L)) // non-vacuous: shared shingles exist
+  }
+
+  test("q_tokenizer_fertility recomputes from raw text with the BPE-ish regex") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val agg = docs.groupBy(_._1).map { case (l, xs) =>
+      val tok = xs.map(d => re.findAllIn(d._2.toLowerCase).length.toLong).sum
+      val bytes = xs.map(_._2.getBytes("UTF-8").length.toLong).sum
+      l -> ((xs.length.toLong, tok, bytes))
+    }
+    val got = q("q_tokenizer_fertility")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == agg.size)
+    got.foreach { case (l, n, tok, bytes, bp) =>
+      assert((n, tok, bytes) == ((agg(l)._1, agg(l)._2, agg(l)._3)), s"lang $l")
+      assert(bp == tok * 10000 / bytes)
+    }
+  }
+
+  test("q_winsorize matches brute-force p5/p95 clipping per segment") {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus").as("seg"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(String, Int, Long)].collect()
+      .groupBy { case (s, y, _) => (s, y) }
+    val got = q("q_winsorize")
+      .as[(String, Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (seg, yr, n, lo, hi, cLo, cHi, wSum) =>
+      val cs = base((seg, yr)).map(_._3).toSeq.sorted
+      assert(n == cs.size)
+      val eLo = cs((cs.size * 5 + 99) / 100 - 1)
+      val eHi = cs((cs.size * 95 + 99) / 100 - 1)
+      assert(lo == eLo && hi == eHi, s"($seg,$yr) caps ($lo,$hi) != ($eLo,$eHi)")
+      assert(cLo == cs.count(_ < eLo) && cHi == cs.count(_ > eHi))
+      assert(wSum == cs.map(c => math.max(eLo, math.min(c, eHi))).sum)
+      assert(lo <= hi)
+    }
+    // non-vacuous: at least one segment actually clips
+    assert(got.exists(r => r._6 > 0 || r._7 > 0))
+  }
+
+  test("q_multimodal_dedup: digest classes equal closed-form classes; all docs covered") {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val expect = ids.groupBy(_ % 32).values
+      .filter(_.length >= 2)
+      .map(g => (g.length.toLong, g.min, g.sum)).toSet
+    val got = q("q_multimodal_dedup")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // every class at gate scale has >= 2 members, so the groups cover
+    // the whole corpus — a digest mismatch would split a class
+    assert(got.toSeq.map(_._1).sum == ids.length)
+  }
+
+  test("q_sliding_distinct equals brute-force window membership") {
+    import spark.implicits._
+    val du = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+    val expect = du.flatMap { case (d, u) =>
+      (0 to 6).map(off => (d.toLocalDate.minusDays(6 - off.toLong), u))
+    }.distinct.groupBy(_._1).map { case (ws, v) => ws -> v.map(_._2).distinct.length.toLong }
+    val got = q("q_sliding_distinct")
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toLocalDate -> n }.toMap
+    assert(got == expect)
+    // a window is a union of days, so it can never undercut its days;
+    // at gate scale the 15-user universe saturates a single busy day,
+    // so >= (not >) is the strongest scale-independent form
+    val daily = du.groupBy(_._1).map(_._2.length)
+    assert(got.values.max >= daily.max)
+  }
+
+  test("q_retention_cohorts: offset-0 equals cohort size; brute-force matrix") {
+    import spark.implicits._
+    val uw = Tables.load(spark, dir, "events")
+      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("week"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val cohort = uw.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(_._2.toLocalDate).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)) }
+    val expect = uw.map { case (u, w) =>
+      val c = cohort(u)
+      ((c, (w.toLocalDate.toEpochDay - c.toEpochDay) / 7), u)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+    val got = q("q_retention_cohorts")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (c, off, n) => ((c.toLocalDate, off)) -> n }.toMap
+    assert(got == expect)
+    // offset 0 contains every cohort member by construction
+    cohort.values.toSeq.distinct.foreach { c =>
+      assert(got((c, 0L)) == cohort.count(_._2 == c))
+    }
+  }
+
+  test("q_lag_features: per-customer replay (gaps, deltas, null firsts)") {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1)
+    val got = q("q_lag_features")
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+        col("days_since_prev"), col("delta_cents"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      .groupBy(_._1)
+    base.foreach { case (cust, orders) =>
+      val sorted = orders.sortBy(o => (o._3.toLocalDate.toEpochDay, o._2))
+      val rows = got(cust).sortBy(_._3)
+      assert(rows.length == sorted.length)
+      rows.zipWithIndex.foreach { case ((_, ok, seq, gap, dc), i) =>
+        assert(ok == sorted(i)._2 && seq == i + 1)
+        if (i == 0) assert(gap.isEmpty && dc.isEmpty)
+        else {
+          assert(gap.get == sorted(i)._3.toLocalDate.toEpochDay -
+            sorted(i - 1)._3.toLocalDate.toEpochDay)
+          assert(dc.get == sorted(i)._4 - sorted(i - 1)._4)
+        }
+      }
+    }
+  }
+
   test("q_random_projection recomputes from raw embeddings with the sign hash") {
     import spark.implicits._
     def sgn(i: Int, j: Int): Long =

@@ -589,4 +589,58 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_sampling_temperature: source-sized frame, one 1-row BNLJ for the total") {
+    val plan = planString("q_sampling_temperature")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_ngram_novelty: inverted-index shape, keyed joins only") {
+    val plan = planString("q_ngram_novelty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_tokenizer_fertility: row-local counts + combinable aggregate, no join") {
+    val plan = planString("q_tokenizer_fertility")
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_winsorize: caps broadcast back, no cartesian, no sort-merge") {
+    val plan = planString("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_multimodal_dedup: rep join broadcasts; digest group-by is the only wide op") {
+    val plan = planString("q_multimodal_dedup")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_sliding_distinct: explode-after-dedup, no join anywhere") {
+    val plan = planString("q_sliding_distinct")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_retention_cohorts: keyed join + combinable matrix aggregate") {
+    val plan = planString("q_retention_cohorts")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_lag_features: one window pass keyed by customer, no join") {
+    val plan = planString("q_lag_features")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
