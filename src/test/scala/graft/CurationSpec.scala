@@ -605,18 +605,23 @@ class CurationSpec extends SparkSpec {
   test("q_simjoin_prefix equals brute-force exact Jaccard>=0.6 (no false negatives/positives)") {
     import spark.implicits._
     import graft.ops.TextOps
-    // exact all-pairs over collected shingle sets — test-scope-only
-    // brute force, the completeness proof the prefix rule is judged by
+    // exact all-pairs over the SAME hashed-shingle multisets the
+    // production path ships (the kernel dedups strings, so a hash
+    // collision yields a duplicated value — the join-count semantics
+    // Σ_s cntA(s)·cntB(s) mirror that exactly); test-scope-only brute
+    // force, the completeness proof the prefix rule is judged by
     val sets = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(TextOps.shingles3(TextOps.words(col("text")))).as("sh"))
-      .as[(Long, Seq[String])].collect()
-      .map { case (id, sh) => id -> sh.filter(_.nonEmpty).toSet }
+        TextOps.shingleHashes(TextOps.words(col("text"))).as("hs"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, hs) =>
+        id -> hs.groupBy(identity).map { case (s, v) => s -> v.size.toLong } }
     val expect = (for {
-      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
-      inter = (sa & sb).size
-      if inter * 5 >= (sa.size + sb.size - inter) * 3
-    } yield (a, b, inter.toLong)).toSet
+      (a, ca) <- sets; (b, cb) <- sets if a < b
+      na = ca.values.sum; nb = cb.values.sum
+      shared = ca.keysIterator.map(s => ca(s) * cb.getOrElse(s, 0L)).sum
+      if shared * 5 >= (na + nb - shared) * 3 && na > 0 && nb > 0
+    } yield (a, b, shared)).toSet
     val got = q("q_simjoin_prefix")
       .select("doc_a", "doc_b", "shared")
       .as[(Long, Long, Long)].collect().toSet
