@@ -58,6 +58,43 @@ object GlobalRank {
     (ranked, total)
   }
 
+  /** Adds `outCol` = running sum of `deltaCol` in the global
+    * `sortCols` order WITHOUT a single-partition window — the
+    * distributed sweep-line primitive (max-concurrency, inventory
+    * levels, watermark tracking all reduce to it).
+    *
+    * Same shape as [[withGlobalRank]]: one range exchange, partition-
+    * local sorted prefix sums (a window PARTITIONED by the physical
+    * partition id — never a global window), one k-row action for the
+    * per-partition delta totals, exclusive-prefix offsets broadcast
+    * back. Callers must make `sortCols` a total order. */
+  def withRunningSum(df: DataFrame, sortCols: Seq[Column], deltaCol: Column,
+      outCol: String, numParts: Int): DataFrame = {
+    val ranged = df
+      .withColumn("__gr_d", deltaCol)
+      .repartitionByRange(numParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(col("__gr_pid"))
+      .agg(sum(col("__gr_d")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((-1, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.tail.zip(totals).map { case ((pid, cum), (_, t)) => (pid, cum - t) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__gr_pid", "__gr_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gr_pid"))
+      .orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn(outCol, col("__gr_off") + sum(col("__gr_d")).over(w))
+      .drop("__gr_pid", "__gr_d", "__gr_off")
+  }
+
   /** SQL NTILE(k) bucket from a 1-based global rank over n rows —
     * the closed form both Spark and DuckDB implement: the first
     * n mod k buckets get ceil(n/k) rows, the rest floor(n/k). */

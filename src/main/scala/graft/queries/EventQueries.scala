@@ -538,8 +538,118 @@ object EventQueries {
     GROUP BY 1, 2"""),
     "Cohort retention matrix (first-seen week x weeks-since, distinct users)")
 
+  /** Interval merging (gaps-and-islands): each event opens a 5-minute
+    * activity interval; overlapping/touching intervals per user merge
+    * into maximal islands. The classic pattern — a new island starts
+    * exactly where the running max of previous interval ends stops
+    * covering the next start — expressed with one per-user window
+    * (cummax + flag + running flag-sum), entirely integer epoch
+    * seconds.
+    *
+    * Scale: one shuffle (by user) + one window pass; islands then
+    * aggregate per (user, island) with map-side combine. */
+  val qIntervalMerge = Q(
+    "q_interval_merge",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      import org.apache.spark.sql.expressions.Window
+      val iv = load(spark, dir, "events").select(
+        col("user_id"), col("event_id"),
+        col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + 300L).as("e"))
+      val w = Window.partitionBy("user_id").orderBy(col("s").asc, col("event_id").asc)
+      val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = iv
+        .withColumn("new_island",
+          when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy("user_id", "island")
+        .agg(min("s").as("start_s"), max("e").as("end_s"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""WITH iv AS (
+      SELECT user_id, event_id,
+        CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+        CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      FROM f)
+    SELECT user_id, island, MIN(s) AS start_s, MAX(e) AS end_s,
+      COUNT(*) AS n_events
+    FROM g GROUP BY 1, 2"""),
+    "Gaps-and-islands interval merge per user (cummax + flag + running sum)")
+
+  /** Global peak concurrency — the sweep-line answer to "how many
+    * sessions were open at once": every interval contributes +1 at
+    * its start and -1 at its end, the running sum over the globally
+    * time-ordered points is the occupancy curve, and the output pins
+    * its exact peak and the first instant it is reached.
+    *
+    * A bare `SUM() OVER (ORDER BY t)` funnels every point through ONE
+    * partition — so the running sum comes from
+    * [[graft.ops.GlobalRank.withRunningSum]]: range repartition on
+    * the point order, partition-local sorted prefix sums, k-row
+    * totals action, broadcast exclusive offsets (the zipWithIndex
+    * pattern generalized from ranks to prefix sums). Tiebreak puts
+    * -1 before +1 at equal timestamps: half-open [s, e) intervals —
+    * a session ending at t frees its slot before one starting at t
+    * takes it. PlanSpec pins the absence of a SinglePartition
+    * exchange; OpsSpec differentials the runner against Spark's own
+    * global window at several partition counts. */
+  val qMaxConcurrency = Q(
+    "q_max_concurrency",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val iv = load(spark, dir, "events").select(
+        col("event_id"), col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + 300L).as("e"))
+      val pts = iv.select(col("s").as("t"), lit(1L).as("d"), col("event_id"))
+        .unionByName(iv.select(col("e").as("t"), lit(-1L).as("d"), col("event_id")))
+      val parts = spark.sparkContext.defaultParallelism
+      val run = graft.ops.GlobalRank.withRunningSum(
+        pts, Seq(col("t").asc, col("d").asc, col("event_id").asc),
+        col("d"), "occ", parts)
+      val tot = run.agg(max(col("occ")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      run.crossJoin(broadcast(tot))
+        .filter(col("occ") === col("max_concurrent"))
+        .groupBy("max_concurrent", "n_intervals")
+        .agg(min(col("t")).as("first_peak_s"))
+        .select("max_concurrent", "first_peak_s", "n_intervals")
+    },
+    Some("""WITH iv AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    pts AS (
+      SELECT s AS t, CAST(1 AS BIGINT) AS d, event_id FROM iv
+      UNION ALL
+      SELECT e AS t, CAST(-1 AS BIGINT) AS d, event_id FROM iv),
+    r AS (
+      SELECT t, CAST(SUM(d) OVER (ORDER BY t, d, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS occ
+      FROM pts)
+    SELECT MAX(occ) AS max_concurrent,
+      MIN(CASE WHEN occ = (SELECT MAX(occ) FROM r) THEN t END) AS first_peak_s,
+      (SELECT COUNT(*) FROM iv) AS n_intervals
+    FROM r"""),
+    "Global peak concurrency via distributed sweep line (no single-partition window)")
+
   val all: Seq[Q] = Seq(qEventsWindow, qEventsSessionize, qMultimodalDecode,
     qMultimodalAudio, qMultimodalFrames, qRollupAgg, qCubeAgg, qEventsRolling,
     qEventsFunnel, qEventsSliding, qJoinRange, qAttribution, qAudioFrames,
-    qMultimodalDedup, qSlidingDistinct, qRetentionCohorts)
+    qMultimodalDedup, qSlidingDistinct, qRetentionCohorts, qIntervalMerge,
+    qMaxConcurrency)
 }

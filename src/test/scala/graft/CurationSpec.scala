@@ -945,6 +945,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_interval_merge: islands replay sequentially; islands are disjoint and gapped") {
+    import spark.implicits._
+    val iv = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val got = q("q_interval_merge")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(got.keySet == iv.keySet)
+    iv.foreach { case (u, evs) =>
+      // sequential replay of the merge
+      val sorted = evs.sortBy(e => (e._3, e._2)).map(e => (e._3, e._3 + 300L))
+      val islands = sorted.tail.foldLeft(List((sorted.head._1, sorted.head._2, 1L))) {
+        case ((s0, e0, n) :: rest, (s, e)) =>
+          if (s > e0) (s, e + 0L, 1L) :: (s0, e0, n) :: rest
+          else (s0, math.max(e0, e), n + 1) :: rest
+        case (Nil, _) => Nil
+      }.reverse
+      val rows = got(u).sortBy(_._2).map(r => (r._3, r._4, r._5)).toList
+      assert(rows == islands, s"user $u islands")
+      // islands strictly separated by gaps
+      rows.sliding(2).foreach {
+        case List((_, e1, _), (s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_max_concurrency equals a brute-force sweep (ends free before starts)") {
+    import spark.implicits._
+    val iv = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("long").as("s"))
+      .as[(Long, Long)].collect()
+    val pts = iv.flatMap { case (id, s) =>
+      Seq((s, 1L, id), (s + 300L, -1L, id)) }
+      .sortBy { case (t, d, id) => (t, d, id) }
+    var occ = 0L; var best = 0L; var firstPeak = 0L
+    pts.foreach { case (t, d, _) =>
+      occ += d
+      if (occ > best) { best = occ; firstPeak = t }
+    }
+    val Array((mc, fp, n)) = q("q_max_concurrency")
+      .as[(Long, Long, Long)].collect()
+    assert(mc == best && fp == firstPeak && n == iv.length)
+    assert(mc >= 2) // non-vacuous: overlap exists at gate scale
+  }
+
   test("q_random_projection recomputes from raw embeddings with the sign hash") {
     import spark.implicits._
     def sgn(i: Int, j: Int): Long =

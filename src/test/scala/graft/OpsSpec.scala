@@ -376,4 +376,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 5L -> 2, 9L -> 3))
     spark.catalog.clearCache()
   }
+
+  test("GlobalRank.withRunningSum equals the single-partition window, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(3000) { i =>
+      (rnd.nextInt(500).toLong, if (rnd.nextBoolean()) 1L else -1L, i.toLong)
+    }
+    val df = rows.toDF("t", "d", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("d").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expect = df.withColumn("occ", sum(col("d")).over(w))
+      .select("id", "occ").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val got = GlobalRank.withRunningSum(
+        df, Seq(col("t").asc, col("d").asc, col("id").asc), col("d"), "occ", parts)
+        .select("id", "occ").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"running sum diverges at parts=$parts")
+      spark.catalog.clearCache()
+    }
+  }
 }

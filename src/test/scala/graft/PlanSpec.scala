@@ -643,4 +643,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("q_interval_merge: per-user windows only, no join, no single partition") {
+    val plan = planString("q_interval_merge")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q_max_concurrency: the sweep never funnels a window through one partition") {
+    val plan = planString("q_max_concurrency")
+    // the occupancy prefix-sum must come from the range-partitioned
+    // runner: every window in the plan is partitioned by the physical
+    // partition id — none is a global ORDER BY (empty partition spec).
+    // (The 1-row final aggregates still exchange to a single partition;
+    // that is k partial rows, not the point stream.)
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__gr_pid")), plan)
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
