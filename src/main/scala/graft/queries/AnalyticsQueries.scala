@@ -912,10 +912,72 @@ object AnalyticsQueries {
     FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC)"""),
     "Per-customer lag features (sequence, day gap, price delta; typed NULL firsts)")
 
+  /** Association rules (market-basket): brand co-occurrence within
+    * orders with exact integer support / confidence / lift. The
+    * recommendation-mining staple, written the scalable way: baskets
+    * shrink to distinct (order, brand) FIRST, the pair join is
+    * per-order (bounded by basket size, never corpus²), and the
+    * brand-count side tables are category-sized broadcasts. lift
+    * crosses through DECIMAL(38,0) (n_ab·N·1e6 outgrows a long by
+    * ~sf10).
+    *
+    * Support threshold 10 keeps the rule set dense at every fixture
+    * scale (avg pair support ≈ 30 at sf0.001). */
+  val qAssocRules = Q(
+    "q_assoc_rules",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val p = load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val baskets = load(spark, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val na = baskets.groupBy("b").agg(count(lit(1)).as("n_i"))
+      val tot = baskets.agg(countDistinct(col("o")).as("n_orders"))
+      val pairs = baskets.select(col("o"), col("b").as("brand_a"))
+        .join(baskets.select(col("o"), col("b").as("brand_b")), Seq("o"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      pairs
+        .join(broadcast(na.select(col("b").as("brand_a"), col("n_i").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(na.select(col("b").as("brand_b"), col("n_i").as("n_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("n_orders"),
+          expr("(n_ab * 1000000) div n_a").as("conf_ppm"),
+          // `div` (IntegralDivide) on decimals, NOT decimal `/`: true
+          // decimal division rounds at the result scale, so a quotient
+          // like 3.9999998 could round up before a long cast — div
+          // floors exactly like DuckDB's // on HUGEINT
+          expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)
+            div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""").as("lift_ppm"))
+    },
+    Some("""WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    na AS (SELECT b, COUNT(*) AS n_i FROM baskets GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM baskets),
+    pairs AS (
+      SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets bb ON a.o = bb.o AND a.b < bb.b
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+    SELECT p.brand_a, p.brand_b, p.n_ab, x.n_i AS n_a, y.n_i AS n_b,
+      t.n_orders,
+      (p.n_ab * 1000000) // x.n_i AS conf_ppm,
+      CAST(CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000
+        // (CAST(x.n_i AS HUGEINT) * y.n_i) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN na x ON p.brand_a = x.b
+    JOIN na y ON p.brand_b = y.b
+    CROSS JOIN tot t"""),
+    "Association rules: per-order brand pairs with exact support/confidence/lift")
+
   val all: Seq[Q] = Seq(qPivotStatus, qWindowRunning, qSetOps, qAsofJoin,
     qJoinSalted, qTextTopTerms, qMedianWindow, qApproxSketches,
     qEventsJson, qWindowRanks, qTopkPerKey, qArrayPos, qStatsCorr,
     qListagg, qGapfill, qWindowFirstLast, qScd2Orders, qScd2Merge,
     qScd2Fold, qZorderCluster, qRangeLayout, qCmsHeavyHitters,
-    qAnomalyZscore, qLagFeatures)
+    qAnomalyZscore, qLagFeatures, qAssocRules)
 }

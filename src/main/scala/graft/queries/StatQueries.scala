@@ -435,6 +435,66 @@ object StatQueries {
     GROUP BY b.seg, b.yr"""),
     "Winsorize at exact per-segment p5/p95 (integer rank caps, clip counts, exact sums)")
 
+  /** Exact ROC-AUC (Mann-Whitney U with mid-rank tie correction) —
+    * the classifier-evaluation staple, computed the sort-free scalable
+    * way: collapse to per-score (count, positives) FIRST (one
+    * combinable aggregate), then a running sum over the per-SCORE
+    * frame gives each tie group's [lo, hi] rank range; mid-ranks
+    * enter doubled (lo + hi, an integer) so nothing leaves integer
+    * space: AUC = (Σ_pos 2·midrank − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    * in exact ppm via integral division.
+    *
+    * Scale: the corpus never sorts — only the distinct-score frame
+    * does (bounded cardinality; here doc lengths). The demo scores
+    * doc length against the lang='en' label — mechanically the real
+    * metric for any (score, label) pair. */
+  val qAucEval = Q(
+    "q_auc_eval",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").select(
+        col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val per = d.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val r = per
+        .withColumn("cum", sum(col("cnt")).over(w))
+        // lo + hi = (cum - cnt + 1) + cum, the DOUBLED mid-rank
+        .withColumn("contrib", col("np") * (col("cum") * 2 - col("cnt") + 1))
+      r.agg(sum(col("np")).as("n_pos"),
+          (sum(col("cnt")) - sum(col("np"))).as("n_neg"),
+          sum(col("contrib")).as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("""CAST((CAST(u2 - n_pos * (n_pos + 1) AS DECIMAL(38,0)) * 1000000)
+            div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)""")
+            .as("auc_ppm"))
+    },
+    Some("""WITH d AS (
+      SELECT n_chars AS score,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    per AS (SELECT score, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
+      FROM d GROUP BY 1),
+    r AS (
+      SELECT np, cnt,
+        SUM(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cum
+      FROM per),
+    agg AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        CAST(SUM(cnt) - SUM(np) AS BIGINT) AS n_neg,
+        CAST(SUM(np * (cum * 2 - cnt + 1)) AS BIGINT) AS u2
+      FROM r)
+    SELECT n_pos, n_neg,
+      CAST(CAST(u2 - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+        // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg"""),
+    "Exact tie-corrected ROC-AUC in ppm (per-score collapse, no corpus sort)")
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qQuantileBins, qHistogram,
-    qKAnonymity, qTableProfile, qAnomalyMad, qChiSquare, qWinsorize)
+    qKAnonymity, qTableProfile, qAnomalyMad, qChiSquare, qWinsorize,
+    qAucEval)
 }

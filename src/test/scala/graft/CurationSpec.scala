@@ -993,6 +993,54 @@ class CurationSpec extends SparkSpec {
     assert(mc >= 2) // non-vacuous: overlap exists at gate scale
   }
 
+  test("q_assoc_rules: brute-force baskets (support/confidence/lift, complete at >=10)") {
+    import spark.implicits._
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand")).as[(Long, String)].collect().toMap
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .map { case (o, pk) => (o, p(pk)) }.distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val na = baskets.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { items =>
+      val bs = items.map(_._2).sorted
+      for { i <- bs.indices; j <- i + 1 until bs.length } yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 10)
+    val got = q("q_assoc_rules")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == pairCounts.size, "rule set incomplete or padded")
+    got.foreach { case (a, b, nab, nA, nB, nOrd, conf, lift) =>
+      assert(nab == pairCounts((a, b)))
+      assert(nA == na(a) && nB == na(b) && nOrd == nOrders)
+      assert(conf == nab * 1000000L / nA)
+      assert(lift == (BigInt(nab) * nOrders * 1000000 / (BigInt(nA) * nB)).toLong)
+    }
+    // non-vacuous: some rule must show positive association (lift > 1)
+    assert(got.exists(_._8 > 1000000L))
+  }
+
+  test("q_auc_eval equals the pairwise Mann-Whitney definition (ties at 1/2)") {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("n_chars"), col("lang")).as[(Long, String)].collect()
+    val pos = d.filter(_._2 == "en").map(_._1)
+    val neg = d.filter(_._2 != "en").map(_._1)
+    // O(n_pos * n_neg) definitional AUC: wins + half-ties
+    var wins2 = BigInt(0)
+    pos.foreach { s =>
+      neg.foreach { t =>
+        if (s > t) wins2 += 2 else if (s == t) wins2 += 1
+      }
+    }
+    val expect = (wins2 * 1000000 / (BigInt(2) * pos.length * neg.length)).toLong
+    val Array((nPos, nNeg, auc)) = q("q_auc_eval")
+      .as[(Long, Long, Long)].collect()
+    assert(nPos == pos.length && nNeg == neg.length)
+    assert(auc == expect, s"auc $auc != definitional $expect")
+    assert(auc > 0 && auc < 1000000) // non-degenerate
+  }
+
   test("q_random_projection recomputes from raw embeddings with the sign hash") {
     import spark.implicits._
     def sgn(i: Int, j: Int): Long =

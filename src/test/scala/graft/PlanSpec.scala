@@ -644,6 +644,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q_assoc_rules: per-order pair join, category-sized broadcasts, one 1-row BNLJ") {
+    val plan = planString("q_assoc_rules")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_auc_eval: corpus collapses to per-score rows before any window") {
+    val plan = planString("q_auc_eval")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the combinable per-score aggregate sits below the rank window
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("q_interval_merge: per-user windows only, no join, no single partition") {
     val plan = planString("q_interval_merge")
     assert(!plan.contains("Join"), plan)
