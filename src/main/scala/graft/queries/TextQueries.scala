@@ -2237,6 +2237,157 @@ object TextQueries {
     FROM t GROUP BY 1"""),
     "Tokenizer fertility per language (BPE-ish tokens per byte, exact bp)")
 
+  /** Dedup-quality evaluation — the meta-operator every production
+    * near-dedup pipeline needs: measure the MinHash-LSH candidate
+    * generator (default plan(0.5, 8) = 4 bands × 2 rows) against
+    * EXACT ground truth at the same Jaccard threshold (1/2), computed
+    * with the prefix-filter machinery (q_simjoin_prefix at t = 1/2 —
+    * complete by construction, no sampling). Output is one row:
+    * truth/candidate/hit counts and recall/precision in exact ppm —
+    * the numbers that justify a band/row configuration before a
+    * 100 TB run commits to it.
+    *
+    * Truth jaccard uses the candidate-bounded multiset count (the
+    * simjoin formula, integer cross-multiplication — no rounding at
+    * the threshold); LSH candidates are the band-collision pairs
+    * BEFORE verification, which is exactly what recall/precision of
+    * the GENERATOR means. Scale: both sides are the proven shapes —
+    * id-sized band shuffle, rarest-prefix inverted index; the final
+    * metric join is pair-id-sized. */
+  val qDedupLshEval = Q(
+    "q_dedup_lsh_eval",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      val base = d.select(col("doc_id"),
+        shingleHashes(words(col("text"))).as("hs"))
+        .withColumn("sig", minhashSignature(col("hs")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // --- LSH candidates (4 bands x 2 rows, the registry default) ---
+      val (bands, rows) = MinhashDefault
+      val bandCols = base.select(col("doc_id"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("_", (1 to rows).map(i =>
+              element_at(col("sig"), j * rows + i)): _*).as("key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.key"))
+      val cand = bandCols.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        .join(bandCols.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // --- exact truth at t = 1/2 via prefix filtering ---
+      val tok = base.select(col("doc_id"), explode(col("hs")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfc = tok.groupBy("s").agg(count(lit(1)).as("df"))
+      val wrk = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val ranked = tok.join(dfc, Seq("s"))
+        .select(col("doc_id"), col("s"), col("df"),
+          row_number().over(wrk).as("rk"),
+          count(lit(1)).over(wn).as("n"))
+      val pref = ranked
+        .filter(col("rk") <= col("n") - expr("(n+1) div 2") + 1)
+        .filter(col("df") >= 2)
+      val candT = pref.select(col("doc_id").as("doc_a"), col("s"), col("n").as("na"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("s"), col("n").as("nb")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
+        .select("doc_a", "doc_b").distinct()
+      val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = candT
+        .join(tok.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+        .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+        .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
+        .select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // --- metrics (pair-id-sized joins) ---
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nH = hit.agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("CASE WHEN n_truth > 0 THEN (n_hit * 1000000) div n_truth END")
+            .as("recall_ppm"),
+          expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand END")
+            .as("precision_ppm"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
+          FOR x IN (CASE WHEN len(w) >= 3
+            THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+            ELSE [array_to_string(w, ' ')] END)]) AS hs
+      FROM (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)),
+    sg AS (
+      SELECT doc_id, hs,
+        [list_min([(h*7+3)%2147483647 FOR h IN hs]),
+         list_min([(h*13+11)%2147483647 FOR h IN hs]),
+         list_min([(h*29+19)%2147483647 FOR h IN hs]),
+         list_min([(h*41+31)%2147483647 FOR h IN hs]),
+         list_min([(h*53+43)%2147483647 FOR h IN hs]),
+         list_min([(h*67+59)%2147483647 FOR h IN hs]),
+         list_min([(h*83+71)%2147483647 FOR h IN hs]),
+         list_min([(h*97+89)%2147483647 FOR h IN hs])] AS sig
+      FROM d),
+    bnd AS (
+      SELECT doc_id, unnest([
+        {'band': 0, 'key': concat_ws('_', sig[1], sig[2])},
+        {'band': 1, 'key': concat_ws('_', sig[3], sig[4])},
+        {'band': 2, 'key': concat_ws('_', sig[5], sig[6])},
+        {'band': 3, 'key': concat_ws('_', sig[7], sig[8])}], recursive := true)
+      FROM sg),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    tok AS (SELECT doc_id, unnest(hs) AS s FROM d),
+    dfc AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+    rk AS (
+      SELECT t.doc_id, t.s, c.df,
+        row_number() OVER (PARTITION BY t.doc_id ORDER BY c.df ASC, t.s ASC) AS rk,
+        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM tok t JOIN dfc c USING (s)),
+    pref AS (SELECT doc_id, s, n FROM rk
+      WHERE rk <= n - ((n+1) // 2) + 1 AND df >= 2),
+    candt AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+        AND 2*b.n >= a.n AND 2*a.n >= b.n),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    sh AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM candt c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT s.doc_a, s.doc_b
+      FROM sh s
+      JOIN nn na ON s.doc_a = na.doc_id
+      JOIN nn nb ON s.doc_b = nb.doc_id
+      WHERE 2*s.shared >= na.n + nb.n - s.shared),
+    m AS (
+      SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM cand) AS n_cand,
+        (SELECT COUNT(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+            WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS n_hit)
+    SELECT n_truth, n_cand, n_hit,
+      CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth END AS recall_ppm,
+      CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand END AS precision_ppm
+    FROM m"""),
+    "LSH dedup quality eval: recall/precision of band candidates vs exact truth at t=1/2")
+
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
     qDedupMinhashLshT8,
@@ -2247,5 +2398,5 @@ object TextQueries {
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
     qBloomSharded, qFeatureHash, qSentenceSplit, qSamplingTemperature,
-    qNgramNovelty, qTokenizerFertility)
+    qNgramNovelty, qTokenizerFertility, qDedupLshEval)
 }

@@ -1041,6 +1041,45 @@ class CurationSpec extends SparkSpec {
     assert(auc > 0 && auc < 1000000) // non-degenerate
   }
 
+  test("q_dedup_lsh_eval: metrics recompute from first principles (sigs + exact truth)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val rowsD = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.shingleHashes(TextOps.words(col("text"))).as("hs"),
+        TextOps.minhashSignature(
+          TextOps.shingleHashes(TextOps.words(col("text")))).as("sig"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    // truth: exact multiset Jaccard >= 1/2 (the simjoin counting)
+    val counts = rowsD.map { case (id, hs, _) =>
+      id -> hs.groupBy(identity).map { case (s, v) => s -> v.size.toLong } }
+    val truth = (for {
+      (a, ca) <- counts; (b, cb) <- counts if a < b
+      na = ca.values.sum; nb = cb.values.sum
+      shared = ca.keysIterator.map(s => ca(s) * cb.getOrElse(s, 0L)).sum
+      if shared * 2 >= na + nb - shared && na > 0 && nb > 0
+    } yield (a, b)).toSet
+    // candidates: any shared (band, key) over the 4x2 default
+    // NOTE: iterate a Seq, not the Map — a for-comprehension over a
+    // Map that yields pairs rebuilds a Map and silently collapses all
+    // candidates sharing doc_a (cost a debugging session)
+    val sigs = rowsD.map { case (id, _, sig) => id -> sig }.toSeq
+    def keys(sig: Seq[Long]): Seq[(Int, String)] =
+      (0 until 4).map(j => j -> s"${sig(j * 2)}_${sig(j * 2 + 1)}")
+    val cand = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if keys(sa).intersect(keys(sb)).nonEmpty
+    } yield (a, b)).toSet
+    val hit = truth.intersect(cand)
+    val Array((nT, nC, nH, rec, prec)) = q("q_dedup_lsh_eval")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nT == truth.size && nC == cand.size && nH == hit.size,
+      s"counts ($nT,$nC,$nH) != brute (${truth.size},${cand.size},${hit.size})")
+    assert(rec == (if (truth.isEmpty) 0L else hit.size.toLong * 1000000 / truth.size))
+    assert(prec == (if (cand.isEmpty) 0L else hit.size.toLong * 1000000 / cand.size))
+    assert(nT > 0 && nC > 0) // non-vacuous at gate scale
+  }
+
   test("q_random_projection recomputes from raw embeddings with the sign hash") {
     import spark.implicits._
     def sgn(i: Int, j: Int): Long =

@@ -659,6 +659,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q_dedup_lsh_eval: id-sized joins only; the two 1-row metric crosses are BNLJ") {
+    val plan = planString("q_dedup_lsh_eval")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("q_interval_merge: per-user windows only, no join, no single partition") {
     val plan = planString("q_interval_merge")
     assert(!plan.contains("Join"), plan)
