@@ -150,11 +150,20 @@ object SimilarityQueries {
         .filter(col("rk") <= col("n") - expr("(n*3 + 4) div 5") + 1)
         .filter(col("df") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val a = pref.select(col("doc_id").as("doc_a"), col("s"), col("n").as("na"))
-      val b = pref.select(col("doc_id").as("doc_b"), col("s"), col("n").as("nb"))
+      val a = pref.select(col("doc_id").as("doc_a"), col("s"),
+        col("n").as("na"), col("rk").as("pa"))
+      val b = pref.select(col("doc_id").as("doc_b"), col("s"),
+        col("n").as("nb"), col("rk").as("pb"))
       val cand = a.join(b, Seq("s"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(col("nb") * 5 >= col("na") * 3 && col("na") * 5 >= col("nb") * 3)
+        // PPJoin positional filter (Xiao et al., WWW'08): a match at
+        // positions (pa, pb) caps the best possible overlap at
+        // 1 + min(na-pa, nb-pb); Jaccard >= 3/5 needs overlap
+        // >= ceil(3(na+nb)/8), so late-prefix collisions — exactly
+        // what hot tokens produce — drop before the pair distinct()
+        .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+          >= expr("(3*(na + nb) + 7) div 8"))
         .select("doc_a", "doc_b").distinct()
       val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = cand
@@ -185,12 +194,13 @@ object SimilarityQueries {
           row_number() OVER (PARTITION BY t.doc_id ORDER BY c.df ASC, t.s ASC) AS rk,
           COUNT(*) OVER (PARTITION BY t.doc_id) AS n
         FROM tok t JOIN dfc c USING (s)),
-      pref AS (SELECT doc_id, s, n FROM rk
+      pref AS (SELECT doc_id, s, n, rk FROM rk
         WHERE rk <= n - ((n*3 + 4) // 5) + 1 AND df >= 2),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-          AND 5*b.n >= 3*a.n AND 5*a.n >= 3*b.n),
+          AND 5*b.n >= 3*a.n AND 5*a.n >= 3*b.n
+          AND 1 + least(a.n - a.rk, b.n - b.rk) >= (3*(a.n + b.n) + 7) // 8),
       nn AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
       sh AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS shared

@@ -2291,10 +2291,15 @@ object TextQueries {
       val pref = ranked
         .filter(col("rk") <= col("n") - expr("(n+1) div 2") + 1)
         .filter(col("df") >= 2)
-      val candT = pref.select(col("doc_id").as("doc_a"), col("s"), col("n").as("na"))
-        .join(pref.select(col("doc_id").as("doc_b"), col("s"), col("n").as("nb")), Seq("s"))
+      val candT = pref.select(col("doc_id").as("doc_a"), col("s"),
+          col("n").as("na"), col("rk").as("pa"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("s"),
+          col("n").as("nb"), col("rk").as("pb")), Seq("s"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
+        // PPJoin positional filter at t = 1/2: overlap >= ceil((na+nb)/3)
+        .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+          >= expr("(na + nb + 2) div 3"))
         .select("doc_a", "doc_b").distinct()
       val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val truth = candT
