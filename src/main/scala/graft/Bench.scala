@@ -175,14 +175,36 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibEnd = calibMs()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"measured_total":$measuredTotal,"queries_measured":$qsMeasured,"history_runs":${histMedians.size},"retried":$retriedJson,"source_hash":"${srcHash.take(12)}","note":"per-query value = min over {this run, ${histMedians.size} same-code history runs} of median-of-$passes (host has CPU-steal stalls; queries_measured = this run alone; retried = queries re-timed after a >${retrySpread}x median/min spread; -1 = failed, excluded from totals)"}"""
-    println(json)
-    // The driver captures stdout with a bounded tail, which truncated
-    // 18 of 69 per-query rows in round 2 — the full report also goes
-    // to a file so no artifact consumer depends on tail capture.
+    // The driver captures stdout with a bounded 2000-char TAIL: the
+    // ~8 KB full JSON line was truncated mid-stream in every round so
+    // far ("parsed": null in BENCH_r01..r04). The full report goes
+    // ONLY to a file — printing it would leave a truncated JSON
+    // fragment in the tail right before the short line below.
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_report.json")
     try Files.writeString(Paths.get(reportPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] report write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] full per-query report -> $reportPath")
     spark.stop()
+    // Tail-truncation-proof summary: printed after spark.stop() (no
+    // shutdown noise can follow it) and sized ≤ ~1.3 KB so it survives
+    // the 2000-char tail even with sbt's trailing [success] line.
+    // "queries" carries a FIXED headline subset (flagship +
+    // most-expensive per family — stable round-over-round so ratios
+    // compare); every query's number is in bench_report.json.
+    val headline = Seq(
+      "q1_pricing_summary", "q_star_fact", "q_fact_assembly",
+      "q_resolution_fuzzy", "q_dedup_latest", "q_dedup_minhash_lsh",
+      "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_substring",
+      "q_simjoin_prefix", "q_dedup_components", "q_semantic_clusters",
+      "q_ann_cosine_topk", "q_ann_pq_adc", "q_kmeans_lloyd",
+      "q_bpe_learn", "q_bm25_rank", "q_stream_session_parity",
+      "q_stream_stream_join", "q_scd2_fold", "q_hll_rollup",
+      "q_triangle_count", "q_events_sessionize", "q_multimodal_frames")
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val headJson = headline.filter(merged.contains)
+      .map(n => s"\"$n\":${r3(merged(n))}").mkString("{", ",", "}")
+    val shortJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headJson,"sf":"$sfDir","n_queries":${names.size},"n_headline":${headline.count(merged.contains)},"failed":$failedJson,"history_runs":${histMedians.size},"source_hash":"${srcHash.take(12)}","full_report":"$reportPath","note":"queries = fixed headline subset; all ${names.size} per-query medians in $reportPath and the full JSON line above"}"""
+    println(shortJson)
   }
 }

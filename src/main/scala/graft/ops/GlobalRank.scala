@@ -67,7 +67,10 @@ object GlobalRank {
     * local sorted prefix sums (a window PARTITIONED by the physical
     * partition id — never a global window), one k-row action for the
     * per-partition delta totals, exclusive-prefix offsets broadcast
-    * back. Callers must make `sortCols` a total order. */
+    * back. Callers must make `sortCols` a total order. `deltaCol` may
+    * be nullable — null deltas contribute 0 to the running sum (both
+    * the per-partition totals and the in-partition prefix are
+    * coalesced), never an NPE or a null outCol. */
   def withRunningSum(df: DataFrame, sortCols: Seq[Column], deltaCol: Column,
       outCol: String, numParts: Int): DataFrame = {
     val ranged = df
@@ -76,8 +79,12 @@ object GlobalRank {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coalesce(sum, 0): an all-null delta partition aggregates to a
+    // null sum, and a bare getLong would NPE at the driver (latent —
+    // current callers pass lit(±1), but the contract allows nullable
+    // deltas; a null delta contributes 0 to the sweep either way)
     val totals = ranged.groupBy(col("__gr_pid"))
-      .agg(sum(col("__gr_d")).as("t"))
+      .agg(coalesce(sum(col("__gr_d")), lit(0L)).cast("long").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((-1, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
@@ -91,7 +98,8 @@ object GlobalRank {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     ranged
       .join(broadcast(offDf), Seq("__gr_pid"))
-      .withColumn(outCol, col("__gr_off") + sum(col("__gr_d")).over(w))
+      .withColumn(outCol,
+        col("__gr_off") + coalesce(sum(col("__gr_d")).over(w), lit(0L)))
       .drop("__gr_pid", "__gr_d", "__gr_off")
   }
 

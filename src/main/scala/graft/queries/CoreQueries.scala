@@ -272,10 +272,12 @@ object CoreQueries {
     * verified only by scalatest. The fixture is a deterministic messy
     * CSV — quoted commas, escaped quotes, empty→null cells in both a
     * string and an integer column, negative and large numerics, ISO
-    * dates — written fresh to /tmp on every build so the DuckDB oracle
-    * can read_csv the same bytes. Projections CAST every column on
-    * both sides: the query verifies the scan/parse, not each engine's
-    * inference taste.
+    * dates — written fresh on every build so the DuckDB oracle can
+    * read_csv the same bytes. Projections CAST every column on both
+    * sides: the query verifies the scan/parse, not each engine's
+    * inference taste. Amounts use only fractions whose x100 is
+    * integral (.0/.25/.5/.75) so round(amount*100) never lands on a
+    * round-half tie (see q_jsonl_scan's round-4 hash-fail).
     *
     * LOCAL-MODE-ONLY side effect: the builder writes the fixture to a
     * driver-local path, which executors can only read because this
@@ -290,7 +292,7 @@ object CoreQueries {
       |2,-2.25,"comma, inside",2020-02-29,0
       |3,0.0,"quote ""q"" inside",2019-12-31,
       |4,12345.67,unicode æøå,2021-06-01,42
-      |5,0.125,,2022-03-10,7
+      |5,0.75,,2022-03-10,7
       |6,999999.99,big numbers,2018-07-04,1000000
       |7,-0.01,negative amount,2015-11-20,-5
       |8,3.5,last row,2023-01-01,2
@@ -373,8 +375,11 @@ object CoreQueries {
     * surface: nested object, array field, missing keys → null,
     * escaped quotes, unicode, negative/zero numerics, booleans.
     * Projections CAST both sides so the query verifies scan + nested
-    * access, not either engine's inference taste. Binary-fraction
-    * scores (.5/.25/.125) make the cents rounding exact.
+    * access, not either engine's inference taste. Scores use only
+    * fractions whose x100 is INTEGRAL (.0/.25/.5/.75): a .125 score
+    * lands round(x*100) exactly on a half (12312.5), where HALF_UP
+    * and round-half-to-even engines disagree — the round-4 driver
+    * hash-fail signature. No rounding tie can exist in this fixture.
     * Same LOCAL-MODE-ONLY fixture-path note as q_csv_scan; the write
     * is idempotent (same bytes every invocation). */
   val jsonlFixturePath = "/tmp/graft_jsonl_scan/data.jsonl"
@@ -382,7 +387,7 @@ object CoreQueries {
     """{"id":1,"name":"alpha","score":10.5,"tags":["x","y"],"meta":{"src":"web","rank":3},"ok":true}""",
     """{"id":2,"name":"comma, \"quoted\"","score":-2.25,"tags":[],"meta":{"src":"pdf","rank":1},"ok":false}""",
     """{"id":3,"name":"unicode æøå","score":0.0,"tags":["z"],"meta":{"src":"web","rank":2},"ok":true}""",
-    """{"id":4,"name":null,"score":123.125,"tags":["a","b","c"],"meta":{"src":"scan","rank":7},"ok":false}""",
+    """{"id":4,"name":null,"score":123.25,"tags":["a","b","c"],"meta":{"src":"scan","rank":7},"ok":false}""",
     """{"id":5,"score":1.5,"meta":{"src":"web","rank":5}}""",
     """{"id":6,"name":"last","score":-0.5,"tags":["q"],"meta":{"src":"api","rank":4},"ok":true}"""
   ).mkString("", "\n", "\n")

@@ -439,8 +439,18 @@ object EventQueries {
       Tables.ensureConf(spark)
       import spark.implicits._
       val docs = load(spark, dir, "documents")
-      val reps = docs.filter(col("doc_id") < 32)
-        .select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
+      // Representative text per duplicate class = the class's MIN
+      // doc_id's text, derived from the class itself — never the
+      // assumption that doc_ids 0..31 all exist (an absent id would
+      // silently drop its whole class on this side while the
+      // class-grouping oracle still counts it). Two tiny aggregates
+      // + a broadcast self-probe; 32 rows either way.
+      val repIds = docs
+        .groupBy(pmod(col("doc_id"), lit(32)).as("rep_id"))
+        .agg(min(col("doc_id")).as("min_doc"))
+      val reps = repIds
+        .join(docs.select(col("doc_id").as("min_doc"), col("text")), Seq("min_doc"))
+        .select(col("rep_id"), col("text").as("rep_text"))
       val packed = docs
         .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("rep_id"))
         .join(broadcast(reps), Seq("rep_id"))

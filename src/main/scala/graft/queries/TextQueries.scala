@@ -2095,9 +2095,14 @@ object TextQueries {
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val punct = d
         .select(col("doc_id"), words(col("text")).as("w"))
+        // greatest(..., 0) guard: for an empty word array Spark's
+        // sequence(0, -1) yields a DESCENDING [0, -1] while DuckDB
+        // generate_series(0, -1) is empty. Unreachable today (normText
+        // of empty text yields [""], size ≥ 1) but the guard makes the
+        // chunk count non-negative by construction, not by fixture luck.
         .select(col("doc_id"), expr(
           """concat(concat_ws('. ',
-               transform(sequence(0, (size(w)+7) div 8 - 1),
+               transform(sequence(0, greatest((size(w)+7) div 8 - 1, 0)),
                  c -> concat_ws(' ', slice(w, c*8+1, 8)))), '.')""").as("pt"))
       punct
         .select(col("doc_id"),
@@ -2114,7 +2119,7 @@ object TextQueries {
     p AS (
       SELECT doc_id,
         array_to_string([array_to_string(w[c*8+1:c*8+8], ' ')
-          FOR c IN generate_series(0, (len(w)+7)//8 - 1)], '. ') || '.' AS pt
+          FOR c IN generate_series(0, greatest((len(w)+7)//8 - 1, 0))], '. ') || '.' AS pt
       FROM d),
     s AS (SELECT doc_id, regexp_split_to_array(pt, '[.!?]+\s*') AS ss FROM p),
     e AS (SELECT doc_id, unnest(generate_series(1, len(ss))) AS pp, ss FROM s)
@@ -2238,24 +2243,41 @@ object TextQueries {
     "Tokenizer fertility per language (BPE-ish tokens per byte, exact bp)")
 
   /** Dedup-quality evaluation — the meta-operator every production
-    * near-dedup pipeline needs: measure the MinHash-LSH candidate
-    * generator (default plan(0.5, 8) = 4 bands × 2 rows) against
-    * EXACT ground truth at the same Jaccard threshold (1/2), computed
-    * with the prefix-filter machinery (q_simjoin_prefix at t = 1/2 —
-    * complete by construction, no sampling). Output is one row:
-    * truth/candidate/hit counts and recall/precision in exact ppm —
-    * the numbers that justify a band/row configuration before a
-    * 100 TB run commits to it.
+    * near-dedup pipeline needs: measure a MinHash-LSH candidate
+    * generator against EXACT ground truth at the same Jaccard
+    * threshold, computed with the prefix-filter machinery
+    * (q_simjoin_prefix — complete by construction, no sampling).
+    * Output is one row: truth/candidate/hit counts and
+    * recall/precision in exact ppm — the numbers that justify a
+    * band/row configuration before a 100 TB run commits to it.
+    *
+    * Parameterized over (bands, rows) and the exact threshold tn/td,
+    * and graded at BOTH registered planner configs — plan(0.5, 8) =
+    * 4×2 at t = 1/2 and plan(0.8, 8) = 2×3 at t = 4/5 — so the
+    * LshPlanner S-curve claim is empirically checked at both ends of
+    * its range, not just the default. All threshold arithmetic is
+    * integer (tn/td cross-multiplication): prefix length
+    * n − ceil(t·n) + 1, symmetric length filter td·nb ≥ tn·na,
+    * PPJoin positional bound overlap ≥ ceil(t/(1+t)·(na+nb)), truth
+    * td·shared ≥ tn·(na+nb−shared) — no float ever touches a
+    * threshold comparison in either engine.
     *
     * Truth jaccard uses the candidate-bounded multiset count (the
     * simjoin formula, integer cross-multiplication — no rounding at
     * the threshold); LSH candidates are the band-collision pairs
     * BEFORE verification, which is exactly what recall/precision of
-    * the GENERATOR means. Scale: both sides are the proven shapes —
-    * id-sized band shuffle, rarest-prefix inverted index; the final
-    * metric join is pair-id-sized. */
-  val qDedupLshEval = Q(
-    "q_dedup_lsh_eval",
+    * the GENERATOR means. The oracle dedups shingle STRINGS before
+    * hashing — the exact shingleHashKernel order (and q_simjoin_prefix
+    * form), so an intra-doc 31-bit hash collision yields the same
+    * per-doc multiset in both engines. Scale: both sides are the
+    * proven shapes — id-sized band shuffle, rarest-prefix inverted
+    * index; the final metric join is pair-id-sized. */
+  private def lshEvalQ(name: String, cfg: (Int, Int), tn: Int, td: Int,
+      tLabel: String): Q = {
+    val (bands, rows) = cfg
+    require(bands * rows <= 8, s"signature width is 8, got ${bands}x$rows")
+    Q(
+    name,
     (spark, dir) => {
       Tables.ensureConf(spark)
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
@@ -2263,8 +2285,7 @@ object TextQueries {
         shingleHashes(words(col("text"))).as("hs"))
         .withColumn("sig", minhashSignature(col("hs")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // --- LSH candidates (4 bands x 2 rows, the registry default) ---
-      val (bands, rows) = MinhashDefault
+      // --- LSH candidates (bands x rows from the planner config) ---
       val bandCols = base.select(col("doc_id"),
         explode(array((0 until bands).map(j =>
           struct(lit(j).as("band"),
@@ -2277,7 +2298,7 @@ object TextQueries {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // --- exact truth at t = 1/2 via prefix filtering ---
+      // --- exact truth at t = tn/td via prefix filtering ---
       val tok = base.select(col("doc_id"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = tok.groupBy("s").agg(count(lit(1)).as("df"))
@@ -2289,17 +2310,19 @@ object TextQueries {
           row_number().over(wrk).as("rk"),
           count(lit(1)).over(wn).as("n"))
       val pref = ranked
-        .filter(col("rk") <= col("n") - expr("(n+1) div 2") + 1)
+        // prefix length n - ceil(t*n) + 1
+        .filter(col("rk") <= col("n") - expr(s"($tn*n + ${td - 1}) div $td") + 1)
         .filter(col("df") >= 2)
       val candT = pref.select(col("doc_id").as("doc_a"), col("s"),
           col("n").as("na"), col("rk").as("pa"))
         .join(pref.select(col("doc_id").as("doc_b"), col("s"),
           col("n").as("nb"), col("rk").as("pb")), Seq("s"))
         .filter(col("doc_a") < col("doc_b"))
-        .filter(col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
-        // PPJoin positional filter at t = 1/2: overlap >= ceil((na+nb)/3)
+        .filter(col("nb") * td >= col("na") * tn &&
+          col("na") * td >= col("nb") * tn)
+        // PPJoin positional filter: overlap >= ceil(t/(1+t) * (na+nb))
         .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
-          >= expr("(na + nb + 2) div 3"))
+          >= expr(s"($tn*(na + nb) + ${tn + td - 1}) div ${tn + td}"))
         .select("doc_a", "doc_b").distinct()
       val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val truth = candT
@@ -2308,7 +2331,8 @@ object TextQueries {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
         .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
         .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
-        .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
+        .filter(col("shared") * td >=
+          (col("na") + col("nb") - col("shared")) * tn)
         .select("doc_a", "doc_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // --- metrics (pair-id-sized joins) ---
@@ -2323,12 +2347,17 @@ object TextQueries {
           expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand END")
             .as("precision_ppm"))
     },
-    Some("""WITH d AS (
+    Some {
+      val bndEntries = (0 until bands).map { j =>
+        val keys = (1 to rows).map(i => s"sig[${j * rows + i}]").mkString(", ")
+        s"{'band': $j, 'key': concat_ws('_', $keys)}"
+      }.mkString(",\n        ")
+      raw"""WITH d AS (
       SELECT doc_id,
-        list_distinct([CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
-          FOR x IN (CASE WHEN len(w) >= 3
+        [CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647
+          FOR x IN list_distinct(CASE WHEN len(w) >= 3
             THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
-            ELSE [array_to_string(w, ' ')] END)]) AS hs
+            ELSE [array_to_string(w, ' ')] END)] AS hs
       FROM (SELECT doc_id,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents)),
@@ -2345,10 +2374,7 @@ object TextQueries {
       FROM d),
     bnd AS (
       SELECT doc_id, unnest([
-        {'band': 0, 'key': concat_ws('_', sig[1], sig[2])},
-        {'band': 1, 'key': concat_ws('_', sig[3], sig[4])},
-        {'band': 2, 'key': concat_ws('_', sig[5], sig[6])},
-        {'band': 3, 'key': concat_ws('_', sig[7], sig[8])}], recursive := true)
+        $bndEntries], recursive := true)
       FROM sg),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2362,11 +2388,11 @@ object TextQueries {
         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
       FROM tok t JOIN dfc c USING (s)),
     pref AS (SELECT doc_id, s, n FROM rk
-      WHERE rk <= n - ((n+1) // 2) + 1 AND df >= 2),
+      WHERE rk <= n - (($tn*n + ${td - 1}) // $td) + 1 AND df >= 2),
     candt AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-        AND 2*b.n >= a.n AND 2*a.n >= b.n),
+        AND $td*b.n >= $tn*a.n AND $td*a.n >= $tn*b.n),
     nn AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     sh AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
@@ -2379,7 +2405,7 @@ object TextQueries {
       FROM sh s
       JOIN nn na ON s.doc_a = na.doc_id
       JOIN nn nb ON s.doc_b = nb.doc_id
-      WHERE 2*s.shared >= na.n + nb.n - s.shared),
+      WHERE $td*s.shared >= $tn*(na.n + nb.n - s.shared)),
     m AS (
       SELECT
         (SELECT COUNT(*) FROM truth) AS n_truth,
@@ -2390,8 +2416,21 @@ object TextQueries {
     SELECT n_truth, n_cand, n_hit,
       CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth END AS recall_ppm,
       CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand END AS precision_ppm
-    FROM m"""),
-    "LSH dedup quality eval: recall/precision of band candidates vs exact truth at t=1/2")
+    FROM m"""
+    },
+    s"LSH dedup quality eval ($tLabel): recall/precision of ${bands}x$rows band candidates vs exact truth")
+  }
+
+  val qDedupLshEval =
+    lshEvalQ("q_dedup_lsh_eval", MinhashDefault, 1, 2, "t=1/2")
+
+  /** The second registered planner config, plan(0.8, 8) = 2 bands ×
+    * 3 rows at t = 4/5 — grading it makes the LshPlanner S-curve
+    * claim empirically checked at both ends: fewer bands near the
+    * inflection trade recall down for precision up vs the 4×2/t=0.5
+    * eval, and the two rows quantify that trade exactly. */
+  val qDedupLshEvalT8 =
+    lshEvalQ("q_dedup_lsh_eval_t8", MinhashT8, 4, 5, "t=4/5")
 
   val all: Seq[Q] = Seq(qTextTokens, qTextQuality, qTextLangid,
     qTextFingerprint, qDedupExact, qDedupNgramJaccard, qDedupMinhashLsh,
@@ -2403,5 +2442,5 @@ object TextQueries {
     qDedupSubstring, qBpeLearn, qBpeEncode, qLmPerplexity, qDedupContainment,
     qTextNormalize, qSampleWeighted, qCollocations, qTextEntropy,
     qBloomSharded, qFeatureHash, qSentenceSplit, qSamplingTemperature,
-    qNgramNovelty, qTokenizerFertility, qDedupLshEval)
+    qNgramNovelty, qTokenizerFertility, qDedupLshEval, qDedupLshEvalT8)
 }

@@ -755,7 +755,21 @@ object VectorQueries {
     * accumulators, no shuffle of data rows, a 1-row result exploded to
     * (i,j) pairs driver-free via stack(). cov_num = n·Σxy − Σx·Σy is
     * the exact integer numerator (cov = cov_num / n² micro²); emitting
-    * the numerator keeps the compare exact with no double division. */
+    * the numerator keeps the compare exact with no double division.
+    *
+    * Output representation (round-4 driver hash-fail fix): DECIMAL is
+    * INTERNAL ONLY. Σxy and cov_num leave the query as two BIGINT
+    * limbs each (hi/lo, base 1e14: v = hi·1e14 + lo, lo carries the
+    * dividend's sign — Spark Remainder and DuckDB HUGEINT % are both
+    * truncated, so the limbs match bit-for-bit). decimal128 output
+    * columns hash through arbitrary-precision paths that differ
+    * across parquet readers (same class as the round-1 HUGEINT
+    * incident); BIGINT limbs hash identically everywhere. Two limbs
+    * cover |v| ≤ 9.2e18·1e14 ≈ 9e32, i.e. n up to ~2e10 rows at
+    * micro-unit scale — past 100 TB; the DECIMAL(38,0) accumulator
+    * itself caps at n ≈ 7e12. The DuckDB mirror splits limbs in
+    * HUGEINT (never DOUBLE: v−lo exceeds 2^53 long before the limb
+    * bound, and float division would corrupt hi). */
   val qCovarianceMatrix: Q = {
     val D = 8
     val pairs = for { i <- 0 until D; j <- i until D } yield (i, j)
@@ -765,11 +779,17 @@ object VectorQueries {
     val sqlAggs = ((0 until D).map(i => s"CAST(SUM(x$i) AS BIGINT) AS s$i") ++
       pairs.map { case (i, j) => s"CAST(SUM(x$i*x$j) AS DECIMAL(38,0)) AS p${i}_$j" })
       .mkString(", ")
+    val B = 100000000000000L // 1e14 limb base; see Scaladoc
     val sqlRows = pairs.map { case (i, j) =>
-      s"""SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, n,
-        s$i AS sx_i, s$j AS sx_j, p${i}_$j AS sxy,
-        CAST(CAST(p${i}_$j AS HUGEINT)*n - CAST(s$i AS HUGEINT)*s$j
-          AS DECIMAL(38,0)) AS cov_num FROM g"""
+      s"""SELECT i, j, n, sx_i, sx_j,
+        CAST((sxy - sxy % $B) // $B AS BIGINT) AS sxy_hi,
+        CAST(sxy % $B AS BIGINT) AS sxy_lo,
+        CAST((cov - cov % $B) // $B AS BIGINT) AS cov_hi,
+        CAST(cov % $B AS BIGINT) AS cov_lo
+      FROM (SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, n,
+        s$i AS sx_i, s$j AS sx_j, CAST(p${i}_$j AS HUGEINT) AS sxy,
+        CAST(p${i}_$j AS HUGEINT)*n - CAST(s$i AS HUGEINT)*s$j AS cov
+        FROM g)"""
     }.mkString("\n      UNION ALL ")
     Q(
       "q_covariance_matrix",
@@ -788,11 +808,18 @@ object VectorQueries {
         val stackArgs = pairs.map { case (i, j) =>
           s"CAST($i AS BIGINT), CAST($j AS BIGINT), s$i, s$j, p${i}_$j"
         }.mkString(", ")
+        // Limb split in exact decimal arithmetic: lo = v % B (truncated,
+        // sign of dividend), hi = (v − lo)/B — the numerator is an exact
+        // multiple of B, so the decimal divide is exact at any scale.
+        def limbs(v: org.apache.spark.sql.Column, name: String) = Seq(
+          ((v - (v % B)) / B).cast("long").as(s"${name}_hi"),
+          (v % B).cast("long").as(s"${name}_lo"))
+        val covNum = ((col("sxy") * col("n")).cast(dec) -
+          (col("sx_i").cast(dec) * col("sx_j")).cast(dec)).cast(dec)
         g.select(col("n"),
           expr(s"stack(${pairs.length}, $stackArgs) AS (i, j, sx_i, sx_j, sxy)"))
-          .select(col("i"), col("j"), col("n"), col("sx_i"), col("sx_j"), col("sxy"),
-            ((col("sxy") * col("n")).cast(dec) -
-              (col("sx_i").cast(dec) * col("sx_j")).cast(dec)).cast(dec).as("cov_num"))
+          .select(Seq(col("i"), col("j"), col("n"), col("sx_i"), col("sx_j")) ++
+            limbs(col("sxy"), "sxy") ++ limbs(covNum, "cov"): _*)
       },
       Some(s"""WITH xs AS (SELECT $sqlXs FROM embeddings),
       g AS (SELECT COUNT(*) AS n, $sqlAggs FROM xs)

@@ -659,18 +659,23 @@ class CurationSpec extends SparkSpec {
       .select(col("embedding")).as[Seq[Float]].collect()
       .map(_.take(8).map(v => math.round(v.toDouble * 1e6)).toArray)
     val n = vecs.length.toLong
+    val B = BigInt(100000000000000L) // hi/lo limb base, mirrors the query
     val rows = q("q_covariance_matrix")
-      .select(col("i"), col("j"), col("n"), col("sxy").cast("string"),
-        col("cov_num").cast("string"))
-      .as[(Long, Long, Long, String, String)].collect()
+      .select(col("i"), col("j"), col("n"),
+        col("sxy_hi"), col("sxy_lo"), col("cov_hi"), col("cov_lo"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.length == 36)
-    rows.foreach { case (i, j, nq, sxyS, covS) =>
+    rows.foreach { case (i, j, nq, sxyHi, sxyLo, covHi, covLo) =>
       assert(nq == n)
       val sxy = vecs.map(v => BigInt(v(i.toInt)) * BigInt(v(j.toInt))).sum
       val sx = vecs.map(v => BigInt(v(i.toInt))).sum
       val sy = vecs.map(v => BigInt(v(j.toInt))).sum
-      assert(BigInt(sxyS) == sxy, s"($i,$j) sxy")
-      assert(BigInt(covS) == sxy * n - sx * sy, s"($i,$j) cov_num")
+      assert(BigInt(sxyHi) * B + BigInt(sxyLo) == sxy, s"($i,$j) sxy")
+      assert(BigInt(covHi) * B + BigInt(covLo) == sxy * n - sx * sy,
+        s"($i,$j) cov_num")
+      // lo carries the dividend's sign (truncated %): |lo| < B and
+      // hi·lo never have opposite signs
+      assert(sxyLo.abs < 100000000000000L && covLo.abs < 100000000000000L)
     }
   }
 
