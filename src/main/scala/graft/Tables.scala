@@ -12,6 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never throw) and so the DuckDB oracle agrees on day truncation.
   */
 object Tables {
+  /** Staging root for every fixture write, roundtrip sink, and stream
+    * checkpoint the registry performs (CSV/JSONL/ORC/partitioned
+    * roundtrips, DPP/range-layout/schema-evolution tables, the six
+    * streaming parity roots). The LOCAL-MODE assumption lives HERE and
+    * only here: this harness runs single-JVM local[*], so a
+    * driver-local tmpdir is readable by every "executor" thread. A
+    * real multi-executor deployment sets GRAFT_STAGING_DIR to a
+    * shared-filesystem URI (HDFS/object store) and none of the
+    * queries change — the paths are deployment details, not query
+    * semantics. */
+  val stagingDir: String = sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp")
+
+  /** A staging path under [[stagingDir]]. */
+  def staging(sub: String): String = s"$stagingDir/$sub"
+
   /** Idempotent; call at the top of every query builder so semantics do
     * not depend on who created the session. */
   def ensureConf(spark: SparkSession): Unit = {

@@ -781,7 +781,7 @@ object AnalyticsQueries {
     * pushed TIMESTAMP range does not (1500/1500) — at scale, typing
     * the layout column is the difference between reading 2% and 100%.
     * Same LOCAL-MODE scratch-path note as q_csv_scan. */
-  val rangeLayoutPath = "/tmp/graft_range_layout/orders"
+  val rangeLayoutPath = Tables.staging("graft_range_layout/orders")
   val qRangeLayout = Q(
     "q_range_layout",
     (spark, dir) => {

@@ -285,7 +285,7 @@ object CoreQueries {
     * multi-executor cluster the fixture would have to live on shared
     * storage (HDFS/object store) — the scan itself is
     * deployment-agnostic. Re-invocation is idempotent (same bytes). */
-  val csvFixturePath = "/tmp/graft_csv_scan/data.csv"
+  val csvFixturePath = Tables.staging("graft_csv_scan/data.csv")
   private val csvFixture =
     """id,amount,label,d,qty
       |1,10.5,plain,2020-01-15,3
@@ -346,7 +346,7 @@ object CoreQueries {
     * once: an sf0.001 run overwrote the dir mid-sf1-check). The
     * driver runs one scale at a time, so only concurrent dev runs
     * can race. */
-  val partRoundtripPath = "/tmp/graft_part_roundtrip"
+  val partRoundtripPath = Tables.staging("graft_part_roundtrip")
   val qPartitionedRoundtrip = Q(
     "q_partitioned_roundtrip",
     (spark, dir) => {
@@ -382,7 +382,7 @@ object CoreQueries {
     * hash-fail signature. No rounding tie can exist in this fixture.
     * Same LOCAL-MODE-ONLY fixture-path note as q_csv_scan; the write
     * is idempotent (same bytes every invocation). */
-  val jsonlFixturePath = "/tmp/graft_jsonl_scan/data.jsonl"
+  val jsonlFixturePath = Tables.staging("graft_jsonl_scan/data.jsonl")
   private val jsonlFixture = Seq(
     """{"id":1,"name":"alpha","score":10.5,"tags":["x","y"],"meta":{"src":"web","rank":3},"ok":true}""",
     """{"id":2,"name":"comma, \"quoted\"","score":-2.25,"tags":[],"meta":{"src":"pdf","rank":1},"ok":false}""",
@@ -433,7 +433,7 @@ object CoreQueries {
     * which is exactly the roundtrip claim: ORC-out → ORC-in must be
     * value-identical to the parquet original. Same LOCAL-MODE
     * idempotent fixture-write convention as q_partitioned_roundtrip. */
-  val orcRoundtripPath = "/tmp/graft_orc_roundtrip/lineitem"
+  val orcRoundtripPath = Tables.staging("graft_orc_roundtrip/lineitem")
   val qOrcRoundtrip = Q(
     "q_orc_roundtrip",
     (spark, dir) => {

@@ -365,7 +365,7 @@ object JoinQueries {
     * q_partitioned_roundtrip; the oracle computes from the source
     * table directly, so it does NOT read the scratch path (no verify
     * interleaving hazard). */
-  val dppPath = "/tmp/graft_dpp/orders"
+  val dppPath = Tables.staging("graft_dpp/orders")
   val qJoinDpp = Q(
     "q_join_dpp",
     (spark, dir) => {

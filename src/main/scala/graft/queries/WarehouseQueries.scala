@@ -210,7 +210,7 @@ object WarehouseQueries {
     * Scale note: mergeSchema footer-merges at planning time — O(files)
     * on the driver; production tables pin the merged schema in a
     * catalog instead. The read itself stays pruned/pushed. */
-  val schemaEvoPath = "/tmp/graft_schema_evo"
+  val schemaEvoPath = Tables.staging("graft_schema_evo")
   val qSchemaEvolution = Q(
     "q_schema_evolution",
     (spark, dir) => {
