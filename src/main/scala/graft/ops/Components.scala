@@ -51,8 +51,15 @@ object Components {
       edges: DataFrame,
       escalateAfter: Int = EscalateAfterRounds,
       maxStarRounds: Int = MaxStarRounds): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // Symmetric closure via ONE generate rather than a self-union: the
+    // union form scans `edges` twice, re-executing its whole upstream
+    // lineage per side (for q_semantic_clusters that lineage is the
+    // mutual-kNN join; for dedup it is the pair kernel). explode
+    // doubles the rows in a single pass over one execution.
+    val sym = edges.select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- phase 1: min-label propagation, bounded rounds ----

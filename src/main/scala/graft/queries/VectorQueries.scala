@@ -646,10 +646,18 @@ object VectorQueries {
       .select(col("vec_id"), col("vn"))
       .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
     val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
-    val directed = pairs
-      .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_bp"))
-      .unionByName(pairs
-        .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_bp")))
+    // Symmetric expansion via ONE generate, not a self-union: a union
+    // of two selects over `pairs` scans it twice, and `pairs` is the
+    // O(bucket²) flatMapGroups kernel — the whole shuffle + dot-product
+    // pass would run per side (round-6 shave; bench: 12.4 s → see
+    // DEVLOG). explode doubles the rows in the same pass.
+    val directed = pairs.select(explode(array(
+        struct(col("vec_id_a").as("src"), col("vec_id_b").as("dst"),
+          col("cos_bp").as("cos_bp")),
+        struct(col("vec_id_b").as("src"), col("vec_id_a").as("dst"),
+          col("cos_bp").as("cos_bp")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos_bp").as("cos_bp"))
     val w = Window.partitionBy("src")
       .orderBy(col("cos_bp").desc, col("dst").asc)
     val top = directed.withColumn("rk", row_number().over(w))

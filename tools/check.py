@@ -101,13 +101,18 @@ def main():
                     eq = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
                 else:
                     eq = (a == b) | (a.isna() & b.isna())
+                # Nullable dtypes (e.g. Int64) yield pandas <NA> when
+                # exactly one side is NULL, and Series.all() SKIPS NA --
+                # so a value-vs-NULL divergence silently passed for two
+                # rounds (q_jsonl_scan). NA must count as a mismatch.
+                eq = eq.fillna(False)
                 if not bool(eq.all()):
                     diff_cols.append(c)
             if diff_cols:
                 n_bad += 1
                 print(f"FAIL {name}: value mismatch in {diff_cols}")
                 for c in diff_cols[:2]:
-                    m = ~(((g[c] == w[c]) | (g[c].isna() & w[c].isna())))
+                    m = ~(((g[c] == w[c]) | (g[c].isna() & w[c].isna())).fillna(False))
                     print(f"  {c} spark={g[c][m].head(3).tolist()} duck={w[c][m].head(3).tolist()}")
             else:
                 n_ok += 1
