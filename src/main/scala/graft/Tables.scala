@@ -41,6 +41,21 @@ object Tables {
     // legacy conf changes exactly the NULL case and kills the whole
     // sentinel class rather than one call site.
     spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    // Round 6: per-doc side tables (e.g. the nn set-size tables in the
+    // dedup family) lost their forced broadcast() hints — a pinned
+    // doc-cardinality broadcast is an OOM at 1B+ docs. The default
+    // 10 MB STATIC threshold then demoted those joins to shuffles of
+    // the far larger pair side at sf10 (nn ≈ 8 MB est.; jaccard
+    // 46→83 s). Raising the STATIC threshold instead is a trap: it
+    // works on parquet-compressed size estimates, so a 57 MB documents
+    // scan made the planner broadcast 50M-row exploded shingle frames
+    // (measured heap OOM at sf10). The ADAPTIVE threshold is the right
+    // dial — AQE re-plans SMJ→broadcast from ACTUAL post-shuffle
+    // sizes: the genuinely-small sides (nn ≈ 16 MB real) convert, the
+    // multi-GB index sides never do, and nothing is pinned at cluster
+    // scale.
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      (64 * 1024 * 1024).toString)
     // Parquet written without isAdjustedToUTC (e.g. by DuckDB or Hive)
     // would otherwise surface TIMESTAMP_NTZ, which epoch arithmetic
     // (CAST(ts AS BIGINT)) rejects at analysis time — found by the sf1

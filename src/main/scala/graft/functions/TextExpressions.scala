@@ -207,6 +207,62 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** SimHash vote kernel, 60 bits: bit b of the signature is set iff
+    * Σ over token hashes of (+1 if hash bit b set else −1) is > 0.
+    * Bit-identical to the grouped explode+sum form it replaces
+    * (`TextOps.simhashGrouped`, whose NULL-element vote is −1 on every
+    * bit via `when(NULL,1).otherwise(-1)` — mirrored here; the
+    * `graft_word_hashes60` input never contains NULL anyway), and to
+    * the DuckDB oracle's nested list_sum for non-empty input (empty →
+    * 0 on both sides). Row-local: no explode, no doc-keyed shuffle, no
+    * 60-column aggregate — at sf10 the grouped form's 50M exploded
+    * vote rows were the query's dominant cost. */
+  def simhash60Kernel(hashes: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) {
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 60) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** simhash60(hashes: array<long>) → 60-bit signature as long. */
+  case class SimHash60(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${dt.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash60"
+
+    override protected def nullSafeEval(input: Any): Any =
+      simhash60Kernel(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.TextExpressions.simhash60Kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** nfc(s) → Unicode NFC normalization of s — the canonical first
     * step of text cleaning (decomposed accents, compatibility forms
     * from different scrapers collapse to one byte sequence, so exact
@@ -370,6 +426,7 @@ object TextExpressions {
     reg1("graft_minhash", MinHashSignature)
     reg1("graft_shingle_hashes", ShingleHashes)
     reg1("graft_word_hashes60", WordHashes60)
+    reg1("graft_simhash60", SimHash60)
     reg1("graft_nfc", NfcNormalize)
     reg2("graft_jaro_winkler", JaroWinkler)
   }

@@ -108,10 +108,20 @@ object TextOps {
           call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)
       })
 
-  /** SimHash at corpus scale: explode token hashes and compute the
-    * per-bit votes as codegen'd grouped sums (one shuffle on the doc
-    * id) instead of the row-local nested fold, which runs interpreted
-    * per (bit × token). Same math as [[simhash]], bit-identical. */
+  /** SimHash via the native 60-bit kernel — row-local inside
+    * whole-stage codegen, no explode/shuffle/aggregate. Bit-identical
+    * to [[simhashGrouped]] (PropertySpec cross-checks). Requires
+    * TextExpressions.register (done in Tables.ensureConf). */
+  def simhash60Native(hashesCol: Column): Column =
+    call_function("graft_simhash60", hashesCol)
+
+  /** SimHash at corpus scale, grouped form: explode token hashes and
+    * compute the per-bit votes as codegen'd grouped sums (one shuffle
+    * on the doc id) instead of the row-local nested fold, which runs
+    * interpreted per (bit × token). Same math as [[simhash]],
+    * bit-identical. Superseded on the hot path by [[simhash60Native]]
+    * (no explode, no shuffle); kept as the executable spec and the
+    * shape a pre-codegen engine would use. */
   def simhashGrouped(df: DataFrame, idCol: String, hashesCol: String,
       nBits: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(col(hashesCol)).as("__h"))

@@ -171,8 +171,10 @@ object SimilarityQueries {
         .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       shared
-        .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-        .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+        // per-doc cardinality: no forced broadcast (AQE decides) — a
+        // pinned broadcast of a doc-sized table is an OOM at 100 TB
+        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 3)
         .select(col("doc_a"), col("doc_b"), col("shared"),
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))

@@ -230,9 +230,12 @@ object TextQueries {
       a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared"))
-        .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))),
+        // no broadcast() hint on nn: it is PER-DOCUMENT cardinality, so
+        // a forced broadcast is an OOM at cluster scale; AQE still
+        // auto-broadcasts it when genuinely small (it is, at bench SF)
+        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")),
           Seq("doc_a"))
-        .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
+        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")),
           Seq("doc_b"))
         .withColumn("jacc_bp",
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
@@ -420,31 +423,70 @@ object TextQueries {
       Tables.ensureConf(spark)
       // repartition: same single-scan-split spread as q_dedup_ngram_jaccard
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
-      // persist before the grouped-vote explode: same
-      // InferFiltersFromGenerate pushdown trap as q_dedup_ngram_jaccard
-      // (the inferred size(wh)>0 filter would re-derive the word hashes
-      // below the exchange on the single scan split)
-      val base = simhashGrouped(
-        d.select(col("doc_id"), wordHashes60(words(col("text"))).as("wh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        "doc_id", "wh", 60)
-      val bands = base.select(col("doc_id"), col("sim"),
+      // Signature via the native row-local kernel (one codegen'd loop
+      // per doc; the earlier explode + 60-summed-column grouped vote
+      // shuffled ~100 vote rows per doc).
+      //
+      // The pair search then runs at the DISTINCT-SIGNATURE level, not
+      // the document level. Template-heavy corpora concentrate simhash
+      // values hard — measured at sf10: 500k docs collapse to 188k
+      // signatures, and the doc-level band self-join produced 631M
+      // candidate rows whose 4-column distinct took ~280 s, while the
+      // sig-level join is 40M candidates whose distinct takes ~3 s.
+      // Since a document has exactly ONE signature, expanding verified
+      // signature pairs back through the class lists yields every
+      // qualifying doc pair exactly once — the huge doc-pair distinct
+      // disappears entirely, and band-vs-band duplicate candidates are
+      // deduped on an id-sized (sig_a, sig_b) set instead. Intra-class
+      // pairs (identical signatures, hamming 0) never enter the join
+      // at all. Class arrays are bounded by the largest duplicate
+      // class (778 docs at sf10); the Σ|class|² OUTPUT is the pair-
+      // list semantics itself — see SCALE.md for the boundary and the
+      // components/representative escape hatch.
+      val base = d.select(col("doc_id"),
+        simhash60Native(wordHashes60(words(col("text")))).as("sim"))
+      val sigs = base.groupBy("sim")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sigs.select(col("sim"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
             shiftright(col("sim"), 15 * j).bitwiseAND(lit(32767L))
               .as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("sim"), col("b.band"), col("b.bkey"))
-        // self-joined below; persist so the grouped bit-vote signature
-        // (explode + 60-column aggregate) runs once, not twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
-        col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+        .select(col("sim"), col("b.band"), col("b.bkey"))
+      val sigPairs = bands.select(col("sim").as("sim_a"), col("band"), col("bkey"))
+        .join(bands.select(col("sim").as("sim_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("sim_a") < col("sim_b"))
+        .select("sim_a", "sim_b").distinct()
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .filter(col("hamming") <= 3)
+      // cross-class expansion: each side's class list attaches by sig
+      // (id-keyed joins against the cached classes), then two explodes
+      // generate the doc pairs — ordered by doc id, signatures riding
+      // along with their documents
+      val cross = sigPairs
+        .join(sigs.select(col("sim").as("sim_a"), col("ids").as("ids_a")), Seq("sim_a"))
+        .join(sigs.select(col("sim").as("sim_b"), col("ids").as("ids_b")), Seq("sim_b"))
+        .select(col("sim_a"), col("sim_b"), col("hamming"),
+          explode(col("ids_a")).as("da"), col("ids_b"))
+        .select(col("sim_a"), col("sim_b"), col("hamming"), col("da"),
+          explode(col("ids_b")).as("db"))
+        .select(
+          least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          when(col("da") < col("db"), col("sim_a")).otherwise(col("sim_b")).as("sim_a"),
+          when(col("da") < col("db"), col("sim_b")).otherwise(col("sim_a")).as("sim_b"),
+          col("hamming"))
+      // intra-class expansion: identical signatures, hamming 0
+      val intra = sigs.filter(size(col("ids")) > 1)
+        .select(col("sim"), explode(col("ids")).as("da"), col("ids"))
+        .select(col("sim"), col("da"), explode(col("ids")).as("db"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("sim").as("sim_a"), col("sim").as("sim_b"),
+          lit(0).as("hamming"))
+      cross.unionByName(intra)
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
           col("hamming").cast("int").as("hamming"))
     },
@@ -1883,7 +1925,9 @@ object TextQueries {
         .unionByName(shared.select(col("doc_b").as("doc_in"),
           col("doc_a").as("doc_of"), col("shared")))
       both
-        .join(broadcast(nn.select(col("doc_id").as("doc_in"), col("n").as("n_in"))),
+        // per-doc cardinality: no forced broadcast (AQE decides), as in
+        // ngramJaccardPairs
+        .join(nn.select(col("doc_id").as("doc_in"), col("n").as("n_in")),
           Seq("doc_in"))
         .withColumn("cont_bp",
           round(lit(10000.0) * col("shared") / col("n_in")).cast("long"))
@@ -2329,8 +2373,8 @@ object TextQueries {
         .join(tok.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
         .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(broadcast(nn.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-        .join(broadcast(nn.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .filter(col("shared") * td >=
           (col("na") + col("nb") - col("shared")) * tn)
         .select("doc_a", "doc_b")

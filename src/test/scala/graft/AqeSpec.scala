@@ -22,7 +22,12 @@ class AqeSpec extends SparkSpec {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // ensureConf (any registry query on this shared session) sets the
+      // ADAPTIVE threshold to 64m; without disabling it too, AQE
+      // converts the SMJ to broadcast at runtime and the skew-split
+      // machinery under test never engages
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {

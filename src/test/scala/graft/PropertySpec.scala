@@ -263,6 +263,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_simhash60 equals simhashGrouped at 60 bits") {
+    forAll(Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), word))) { rs =>
+      whenever(rs.nonEmpty) {
+        val d = rs.toDF("doc_id", "tok")
+          .groupBy("doc_id").agg(collect_set(col("tok")).as("toks"))
+          .select(col("doc_id"),
+            transform(col("toks"), t => TextOps.stringHash60(t)).as("wh"))
+        val grouped = TextOps.simhashGrouped(d, "doc_id", "wh", 60)
+          .as[(Long, Long)].collect().toMap
+        val native = d.select(col("doc_id"),
+          TextOps.simhash60Native(col("wh")).as("sim"))
+          .as[(Long, Long)].collect().toMap
+        assert(native === grouped)
+      }
+    }
+  }
+
   test("LshPlanner derives band/row splits from the S-curve") {
     import graft.ops.LshPlanner._
     // closed forms
