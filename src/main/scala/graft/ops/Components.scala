@@ -34,10 +34,14 @@ import org.apache.spark.storage.StorageLevel
   * size constant. On a multi-executor cluster, flip to reliable
   * checkpoint(dir) if executor loss during a long run matters. */
 object Components {
-  /** Phase-1 budget: covers every realistic near-dup diameter; beyond
-    * it the chain-shaped escalation path is cheaper than more
-    * propagation rounds. */
-  val EscalateAfterRounds = 10
+  /** Phase-1 budget: a near-dup cluster is star-shaped ("everything
+    * similar to one document"), diameter ≤ 3, so 4 rounds cover it
+    * INCLUDING the zero-change confirmation round. Anything needing
+    * more is chain-shaped (e.g. the mutual-kNN manifold graph), where
+    * the O(log n) star phase beats further propagation — round 6
+    * measured the old budget of 10 burning ~6 useless 2-job rounds on
+    * q_semantic_clusters before escalating anyway. */
+  val EscalateAfterRounds = 4
 
   /** Phase-2 backstop: star rounds are O(log n), so 40 covers any
     * graph with < 2^40 vertices; hitting it means a bug, not a big
@@ -65,20 +69,22 @@ object Components {
     // ---- phase 1: min-label propagation, bounded rounds ----
     var labels = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
       .select(col("u").as("vtx"), least(col("u"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // round 1's count materializes
     var converged = false
     var rounds = 0
     while (!converged && rounds < escalateAfter) {
       val fromNeighbors = sym
         .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
         .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
-      // eager checkpoint materializes the round; the convergence count
-      // then reads the checkpointed blocks (no recompute)
+      // LAZY checkpoint: the convergence count is the materializing
+      // action, so each round costs ONE job (the former eager
+      // checkpoint + count pair was two; on a 30-round run the driver
+      // round-trip latency of the extra jobs dominated small graphs)
       val next = labels.join(fromNeighbors, Seq("vtx"), "left")
         .select(col("vtx"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = next.filter(col("chg")).count() == 0L
       labels = next.select(col("vtx"), col("comp"))
       rounds += 1
@@ -91,8 +97,9 @@ object Components {
     // ---- phase 2: large-star / small-star from the original edges ----
     // orientation invariant for both operations' outputs: (u, v) with
     // u > v. Establish it on the input first.
-    var cur = sym.filter(col("u") > col("v")).distinct().localCheckpoint()
-    sym.unpersist(false)
+    // lazy checkpoint: signature() below is the materializing action
+    var cur = sym.filter(col("u") > col("v")).distinct()
+      .localCheckpoint(eager = false)
     // consecutive-round fixpoint test: a cheap (count, hash-sum)
     // signature GATE, confirmed by an exact set compare when it fires.
     // The signature alone would fail in the dangerous direction: a
@@ -106,28 +113,40 @@ object Components {
       val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var prevSig = signature(cur)
+    var prevSig = signature(cur) // materializes cur's checkpoint
+    sym.unpersist(false)
     converged = false
     rounds = 0
     while (!converged && rounds < maxStarRounds) {
+      // Both star operations compute "min over my neighborhood" and
+      // re-attach rows to it — expressed as a partition WINDOW min
+      // (one shuffle+sort per operation) rather than the groupBy +
+      // join-back form (aggregate shuffle + two join shuffles per
+      // operation): identical rows, half the stages per round, and
+      // round count × stage latency is exactly what dominates small
+      // frontiers (round-6 measurement).
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       // large-star: for every node, attach its strictly-LARGER
       // neighbors to the smallest node it can see (min of closed
       // neighborhood). Halves the distance of far nodes to the root.
-      val lsNbrs = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = lsNbrs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = lsNbrs.join(lsMin, "u").filter(col("v") > col("u"))
+      val lsNbrs = cur.select(explode(array(
+          struct(col("u").as("u"), col("v").as("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val ls = lsNbrs
+        .withColumn("m", least(col("u"), min(col("v")).over(wU)))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")).distinct()
       // small-star: for every node, re-attach its smaller neighbors
       // (and itself) to the smallest of them. Flattens local trees
       // into stars.
-      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
+      val lsW = ls.withColumn("m", min(col("v")).over(wU))
+      val ss = lsW
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(ssMin.select(col("u"), col("m").as("v")))
+        .union(lsW.select(col("u"), col("m").as("v")).distinct())
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // signature() materializes
       val sig = signature(ss)
       converged = sig == prevSig && ss.exceptAll(cur).isEmpty
       prevSig = sig

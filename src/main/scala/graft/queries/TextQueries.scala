@@ -215,32 +215,67 @@ object TextQueries {
       val base = d.select(col("doc_id"),
         shingleHashes(words(col("text"))).as("hs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // persist: consumed by the hot-set aggregate, per-doc counts,
-      // and both join sides — the derivation would otherwise re-run
-      // per consumer.
-      val ex = base.select(col("doc_id"), explode(col("hs")).as("s"))
+      // CLASS COLLAPSE (round 6, the simhash lesson generalized):
+      // docs with the same shingle SET are interchangeable for every
+      // quantity downstream (df contributions, per-doc set size,
+      // pairwise shared counts, jaccard). Group them once by a
+      // canonical set key; the whole index/join pipeline then runs at
+      // class cardinality (sf10: 500k docs → 249.6k classes, and pair
+      // volume is Σ df² — a ~4× cut), and class pairs expand back to
+      // doc pairs at the very end, each exactly once. xxhash64 of the
+      // sorted set is the key (an internal grouping key only — a
+      // ~2⁻⁶⁴ collision risk, never compared against the oracle).
+      val keyed = base.select(col("doc_id"), col("hs"),
+        xxhash64(array_sort(col("hs"))).as("k"))
+      val classes = keyed.groupBy("k")
+        .agg(collect_list(col("doc_id")).as("ids"),
+          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // df is DOCUMENT frequency: weight each class entry by class size
+      val hot = ex.groupBy("s").agg(sum(col("cls")).as("df"))
         .filter(col("df") > DfCap).select("s")
       val idx = ex.join(broadcast(hot), Seq("s"), "left_anti")
+        .select("k", "s")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nn = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-      val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-      a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("shared"))
-        // no broadcast() hint on nn: it is PER-DOCUMENT cardinality, so
-        // a forced broadcast is an OOM at cluster scale; AQE still
-        // auto-broadcasts it when genuinely small (it is, at bench SF)
-        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")),
-          Seq("doc_a"))
-        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-          Seq("doc_b"))
+      val nn = idx.groupBy("k").agg(count(lit(1)).as("n"))
+      val shared = idx.select(col("k").as("ka"), col("s"))
+        .join(idx.select(col("k").as("kb"), col("s")), Seq("s"))
+        .filter(col("ka") < col("kb"))
+        .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
+      // no broadcast() hint on nn (class cardinality — unbounded); the
+      // adaptive threshold broadcasts it from true sizes when small
+      val cp = shared
+        .join(nn.select(col("k").as("ka"), col("n").as("na")), Seq("ka"))
+        .join(nn.select(col("k").as("kb"), col("n").as("nb")), Seq("kb"))
         .withColumn("jacc_bp",
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
             .cast("long"))
         .filter(col("jacc_bp") >= 2000)
+      // cross-class doc pairs: two explodes through the cached class
+      // lists; ordered by doc id (jaccard is symmetric — no payload to
+      // swap)
+      val cross = cp
+        .join(classes.select(col("k").as("ka"), col("ids").as("ids_a")), Seq("ka"))
+        .join(classes.select(col("k").as("kb"), col("ids").as("ids_b")), Seq("kb"))
+        .select(col("shared"), col("jacc_bp"), explode(col("ids_a")).as("da"), col("ids_b"))
+        .select(col("shared"), col("jacc_bp"), col("da"), explode(col("ids_b")).as("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("shared"), col("jacc_bp"))
+      // intra-class doc pairs: identical capped sets → shared = n,
+      // jacc = 10000. The inner join with nn drops classes whose
+      // shingles were all df-capped away (n = 0) — exactly the pairs
+      // the doc-level index join could never produce.
+      val intra = classes.filter(col("cls") > 1)
+        .join(nn, Seq("k"))
+        .select(col("n"), explode(col("ids")).as("da"), col("ids"))
+        .select(col("n"), col("da"), explode(col("ids")).as("db"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n").as("shared"), lit(10000L).as("jacc_bp"))
+      cross.unionByName(intra)
         .select("doc_a", "doc_b", "shared", "jacc_bp")
   }
 
@@ -1908,31 +1943,60 @@ object TextQueries {
       val base = d.select(col("doc_id"),
         shingleHashes(words(col("text"))).as("hs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = base.select(col("doc_id"), explode(col("hs")).as("s"))
+      // class collapse, as in ngramJaccardPairs: identical shingle
+      // sets are interchangeable for df, set size, shared counts, and
+      // containment; the index/join pipeline runs at class cardinality
+      // and class pairs expand back to doc pairs at the end
+      val keyed = base.select(col("doc_id"), col("hs"),
+        xxhash64(array_sort(col("hs"))).as("k"))
+      val classes = keyed.groupBy("k")
+        .agg(collect_list(col("doc_id")).as("ids"),
+          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = ex.groupBy("s").agg(sum(col("cls")).as("df"))
         .filter(col("df") > DfCap).select("s")
       val idx = ex.join(broadcast(hot), Seq("s"), "left_anti")
+        .select("k", "s")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nn = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = idx.select(col("doc_id").as("doc_a"), col("s"))
-      val b = idx.select(col("doc_id").as("doc_b"), col("s"))
-      val shared = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      // both directions: contained side is whichever doc we divide by
-      val both = shared.select(col("doc_a").as("doc_in"), col("doc_b").as("doc_of"),
-          col("shared"))
-        .unionByName(shared.select(col("doc_b").as("doc_in"),
-          col("doc_a").as("doc_of"), col("shared")))
-      both
-        // per-doc cardinality: no forced broadcast (AQE decides), as in
-        // ngramJaccardPairs
-        .join(nn.select(col("doc_id").as("doc_in"), col("n").as("n_in")),
-          Seq("doc_in"))
+      val nn = idx.groupBy("k").agg(count(lit(1)).as("n"))
+      val shared = idx.select(col("k").as("ka"), col("s"))
+        .join(idx.select(col("k").as("kb"), col("s")), Seq("s"))
+        .filter(col("ka") < col("kb"))
+        .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
+      // both directions at the CLASS level: contained side is
+      // whichever class we divide by (containment is directional)
+      val both = shared.select(col("ka").as("kin"), col("kb").as("kof"), col("shared"))
+        .unionByName(shared.select(col("kb").as("kin"), col("ka").as("kof"),
+          col("shared")))
+      val cp = both
+        // class cardinality: no forced broadcast (AQE decides)
+        .join(nn.select(col("k").as("kin"), col("n").as("n_in")), Seq("kin"))
         .withColumn("cont_bp",
           round(lit(10000.0) * col("shared") / col("n_in")).cast("long"))
         .filter(col("cont_bp") >= 8000)
-        .select("doc_in", "doc_of", "shared", "n_in", "cont_bp")
+      // expansion keeps direction: doc_in from the contained class,
+      // doc_of from the containing one (no id reordering)
+      val cross = cp
+        .join(classes.select(col("k").as("kin"), col("ids").as("ids_in")), Seq("kin"))
+        .join(classes.select(col("k").as("kof"), col("ids").as("ids_of")), Seq("kof"))
+        .select(col("shared"), col("n_in"), col("cont_bp"),
+          explode(col("ids_in")).as("doc_in"), col("ids_of"))
+        .select(col("shared"), col("n_in"), col("cont_bp"), col("doc_in"),
+          explode(col("ids_of")).as("doc_of"))
+      // intra-class: identical capped sets → shared = n_in, cont =
+      // 10000, BOTH ordered directions (da ≠ db); classes with every
+      // shingle df-capped away (n = 0) drop via the inner nn join
+      val intra = classes.filter(col("cls") > 1)
+        .join(nn, Seq("k"))
+        .select(col("n"), explode(col("ids")).as("doc_in"), col("ids"))
+        .select(col("n"), col("doc_in"), explode(col("ids")).as("doc_of"))
+        .filter(col("doc_in") =!= col("doc_of"))
+        .select(col("doc_in"), col("doc_of"), col("n").as("shared"),
+          col("n").as("n_in"), lit(10000L).as("cont_bp"))
+      cross.select("doc_in", "doc_of", "shared", "n_in", "cont_bp")
+        .unionByName(intra)
     },
     Some("""WITH raw AS (
       SELECT doc_id, text FROM documents

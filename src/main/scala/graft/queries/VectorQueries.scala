@@ -641,6 +641,9 @@ object VectorQueries {
     * semantic-clusters composition. The top-k frame is persisted: the
     * mutual self-join reads it twice and its lineage holds the
     * flatMapGroups kernel. */
+  private[graft] def knnEdgesForDev(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir)
+
   private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"))
