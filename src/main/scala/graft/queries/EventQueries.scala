@@ -625,8 +625,12 @@ object EventQueries {
       val iv = load(spark, dir, "events").select(
         col("event_id"), col("ts").cast("long").as("s"),
         (col("ts").cast("long") + 300L).as("e"))
-      val pts = iv.select(col("s").as("t"), lit(1L).as("d"), col("event_id"))
-        .unionByName(iv.select(col("e").as("t"), lit(-1L).as("d"), col("event_id")))
+      // one generate, not a self-union: the union form scans the
+      // events table once per endpoint — 2× I/O at corpus scale
+      val pts = iv.select(explode(array(
+          struct(col("s").as("t"), lit(1L).as("d"), col("event_id").as("event_id")),
+          struct(col("e").as("t"), lit(-1L).as("d"), col("event_id").as("event_id")))).as("p"))
+        .select(col("p.t").as("t"), col("p.d").as("d"), col("p.event_id").as("event_id"))
       val parts = spark.sparkContext.defaultParallelism
       val run = graft.ops.GlobalRank.withRunningSum(
         pts, Seq(col("t").asc, col("d").asc, col("event_id").asc),

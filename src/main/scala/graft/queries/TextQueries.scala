@@ -1966,10 +1966,17 @@ object TextQueries {
         .filter(col("ka") < col("kb"))
         .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
       // both directions at the CLASS level: contained side is
-      // whichever class we divide by (containment is directional)
-      val both = shared.select(col("ka").as("kin"), col("kb").as("kof"), col("shared"))
-        .unionByName(shared.select(col("kb").as("kin"), col("ka").as("kof"),
-          col("shared")))
+      // whichever class we divide by (containment is directional).
+      // ONE generate, not a self-union — the union form would run the
+      // candidate join + aggregate once per side (the Components /
+      // knnEdges lesson)
+      val both = shared.select(explode(array(
+          struct(col("ka").as("kin"), col("kb").as("kof"),
+            col("shared").as("shared")),
+          struct(col("kb").as("kin"), col("ka").as("kof"),
+            col("shared").as("shared")))).as("e"))
+        .select(col("e.kin").as("kin"), col("e.kof").as("kof"),
+          col("e.shared").as("shared"))
       val cp = both
         // class cardinality: no forced broadcast (AQE decides)
         .join(nn.select(col("k").as("kin"), col("n").as("n_in")), Seq("kin"))

@@ -905,8 +905,12 @@ object VectorQueries {
         .select(col("vec_id"), col("label").cast("long").as("lab"),
           lit(0L).as("rnd"))
       val mut = knnEdges(spark, dir).select(col("vec_a"), col("vec_b"))
-      val edges = mut.select(col("vec_a").as("u"), col("vec_b").as("v"))
-        .union(mut.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      // one generate, not a self-union: the union form executes the
+      // mutual-kNN join lineage once per side
+      val edges = mut.select(explode(array(
+          struct(col("vec_a").as("u"), col("vec_b").as("v")),
+          struct(col("vec_b").as("u"), col("vec_a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def spread(lab: org.apache.spark.sql.DataFrame, r: Int): org.apache.spark.sql.DataFrame = {
         val nbr = edges
