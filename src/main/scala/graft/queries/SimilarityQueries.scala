@@ -127,17 +127,31 @@ object SimilarityQueries {
       val base = docs.select(col("doc_id"),
         TextOps.shingleHashes(TextOps.words(col("text"))).as("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val tok = base.select(col("doc_id"), explode(col("hs")).as("s"))
+      // class collapse (the jaccard/containment round-6 pattern): docs
+      // with identical token SETS share every quantity AllPairs/PPJoin
+      // computes — df contribution (class-weighted), set size, the
+      // (df, s) prefix ranking, candidate filters, shared counts, and
+      // the final ratio — so the whole join runs at distinct-set-class
+      // cardinality; class pairs expand to doc pairs at the end and
+      // intra-class pairs are closed-form (jaccard = 1).
+      val keyed = base.select(col("doc_id"), col("hs"),
+        xxhash64(array_sort(col("hs"))).as("k"))
+      val classes = keyed.groupBy("k")
+        .agg(collect_list(col("doc_id")).as("ids"),
+          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val dfc = tok.groupBy("s").agg(count(lit(1)).as("df"))
-      // row_number and the per-doc size share ONE sort: both window
-      // specs partition by doc_id, and Catalyst fuses them (measured:
+      val tok = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // df is DOCUMENT frequency: weight each class entry by class size
+      val dfc = tok.groupBy("s").agg(sum(col("cls")).as("df"))
+      // row_number and the per-class size share ONE sort: both window
+      // specs partition by k, and Catalyst fuses them (measured:
       // splitting n out into an aggregate + broadcast join back was
       // ~25% slower than the fused window pass)
-      val wrk = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val wn = Window.partitionBy("doc_id")
+      val wrk = Window.partitionBy("k").orderBy(col("df").asc, col("s").asc)
+      val wn = Window.partitionBy("k")
       val ranked = tok.join(dfc, Seq("s"))
-        .select(col("doc_id"), col("s"), col("df"),
+        .select(col("k"), col("s"), col("df"),
           row_number().over(wrk).as("rk"),
           count(lit(1)).over(wn).as("n"))
       // prefix length = n - ceil(3n/5) + 1 ; ceil(3n/5) = (3n+4) div 5.
@@ -150,12 +164,12 @@ object SimilarityQueries {
         .filter(col("rk") <= col("n") - expr("(n*3 + 4) div 5") + 1)
         .filter(col("df") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val a = pref.select(col("doc_id").as("doc_a"), col("s"),
+      val a = pref.select(col("k").as("ka"), col("s"),
         col("n").as("na"), col("rk").as("pa"))
-      val b = pref.select(col("doc_id").as("doc_b"), col("s"),
+      val b = pref.select(col("k").as("kb"), col("s"),
         col("n").as("nb"), col("rk").as("pb"))
       val cand = a.join(b, Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("ka") < col("kb"))
         .filter(col("nb") * 5 >= col("na") * 3 && col("na") * 5 >= col("nb") * 3)
         // PPJoin positional filter (Xiao et al., WWW'08): a match at
         // positions (pa, pb) caps the best possible overlap at
@@ -164,21 +178,41 @@ object SimilarityQueries {
         // what hot tokens produce — drop before the pair distinct()
         .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= expr("(3*(na + nb) + 7) div 8"))
-        .select("doc_a", "doc_b").distinct()
-      val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .select("ka", "kb").distinct()
+      val nn = tok.groupBy("k").agg(count(lit(1)).as("n"))
       val shared = cand
-        .join(tok.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      shared
-        // per-doc cardinality: no forced broadcast (AQE decides) — a
-        // pinned broadcast of a doc-sized table is an OOM at 100 TB
-        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(tok.select(col("k").as("ka"), col("s")), Seq("ka"))
+        .join(tok.select(col("k").as("kb"), col("s")), Seq("kb", "s"))
+        .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
+      val cp = shared
+        // class cardinality: no forced broadcast (AQE decides) — a
+        // pinned broadcast of a corpus-sized table is an OOM at 100 TB
+        .join(nn.select(col("k").as("ka"), col("n").as("na")), Seq("ka"))
+        .join(nn.select(col("k").as("kb"), col("n").as("nb")), Seq("kb"))
         .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 3)
-        .select(col("doc_a"), col("doc_b"), col("shared"),
+        .select(col("ka"), col("kb"), col("shared"),
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
             .cast("long").as("jacc_bp"))
+      val cross = cp
+        .join(classes.select(col("k").as("ka"), col("ids").as("ids_a")), Seq("ka"))
+        .join(classes.select(col("k").as("kb"), col("ids").as("ids_b")), Seq("kb"))
+        .select(col("shared"), col("jacc_bp"), explode(col("ids_a")).as("da"), col("ids_b"))
+        .select(col("shared"), col("jacc_bp"), col("da"), explode(col("ids_b")).as("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("shared"), col("jacc_bp"))
+      // intra-class: identical sets → shared = n (full set size),
+      // jaccard exactly 1; the original always emitted these (a class
+      // of cls ≥ 2 gives every prefix token df ≥ 2)
+      val intra = classes.filter(col("cls") > 1)
+        .join(nn, Seq("k"))
+        .select(col("n"), explode(col("ids")).as("da"), col("ids"))
+        .select(col("n"), col("da"), explode(col("ids")).as("db"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n").as("shared"), lit(10000L).as("jacc_bp"))
+      cross.unionByName(intra)
+        .select("doc_a", "doc_b", "shared", "jacc_bp")
     },
     Some("""WITH d AS (
         SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
