@@ -15,7 +15,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the blanket unpersist below floods WARN lines via the lazy
+    // localCheckpoint pattern (Components); same artifact-hygiene fix
+    // as Bench (round 7).
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

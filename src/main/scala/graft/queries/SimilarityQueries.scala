@@ -136,9 +136,12 @@ object SimilarityQueries {
       // intra-class pairs are closed-form (jaccard = 1).
       val keyed = base.select(col("doc_id"), col("hs"),
         xxhash64(array_sort(col("hs"))).as("k"))
-      val classes = keyed.groupBy("k")
-        .agg(collect_list(col("doc_id")).as("ids"),
-          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
+      // mega-class escape hatch (round 7) — see ClassGuard: rosters
+      // above spark.graft.maxClassSize collapse to [min id], intra
+      // pairs become a linear star (byte-identical below the cap)
+      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+        keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
+      val classes = classes0
         .persist(StorageLevel.MEMORY_AND_DISK)
       val tok = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -211,7 +214,11 @@ object SimilarityQueries {
         .filter(col("da") < col("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n").as("shared"), lit(10000L).as("jacc_bp"))
-      cross.unionByName(intra)
+      // mega-class star through the representative (rep = min id)
+      val starIntra = megaStars.join(nn, Seq("k"))
+        .select(col("rep").as("doc_a"), col("member").as("doc_b"),
+          col("n").as("shared"), lit(10000L).as("jacc_bp"))
+      cross.unionByName(intra).unionByName(starIntra)
         .select("doc_a", "doc_b", "shared", "jacc_bp")
     },
     Some("""WITH d AS (

@@ -227,9 +227,15 @@ object TextQueries {
       // ~2⁻⁶⁴ collision risk, never compared against the oracle).
       val keyed = base.select(col("doc_id"), col("hs"),
         xxhash64(array_sort(col("hs"))).as("k"))
-      val classes = keyed.groupBy("k")
-        .agg(collect_list(col("doc_id")).as("ids"),
-          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
+      // Mega-class escape hatch (round 7): a boilerplate/empty-doc
+      // class above spark.graft.maxClassSize members would make the
+      // roster below an unbounded single-row array and the intra
+      // expansion a quadratic output; ClassGuard routes such classes
+      // through their representative (roster = [min id], intra = a
+      // linear star). Below the cap: byte-identical, oracle-green.
+      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+        keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
+      val classes = classes0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -275,7 +281,13 @@ object TextQueries {
         .filter(col("da") < col("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n").as("shared"), lit(10000L).as("jacc_bp"))
-      cross.unionByName(intra)
+      // mega-class intra pairs: a linear star through the class
+      // representative (rep = min id, so doc_a < doc_b holds); same nn
+      // semantics as intra (classes df-capped to emptiness drop)
+      val starIntra = megaStars.join(nn, Seq("k"))
+        .select(col("rep").as("doc_a"), col("member").as("doc_b"),
+          col("n").as("shared"), lit(10000L).as("jacc_bp"))
+      cross.unionByName(intra).unionByName(starIntra)
         .select("doc_a", "doc_b", "shared", "jacc_bp")
   }
 
@@ -480,8 +492,24 @@ object TextQueries {
       // components/representative escape hatch.
       val base = d.select(col("doc_id"),
         simhash60Native(wordHashes60(words(col("text")))).as("sim"))
-      val sigs = base.groupBy("sim")
-        .agg(collect_list(col("doc_id")).as("ids"))
+      // NULL text ⇒ NULL signature (the native kernel is
+      // null-intolerant). Unguarded, groupBy("sim") would collect every
+      // such doc into ONE NULL-sig class and the intra expansion below
+      // would emit hamming-0 pairs for them — pairs the oracle's band
+      // equi-join can never produce (SQL joins don't match NULLs). The
+      // jaccard/containment collapses are guarded by their inner nn
+      // joins (a NULL shingle set explodes to zero index rows); simhash
+      // needs this explicit filter because the signature IS the class
+      // key. (ADVICE r6, medium.)
+      // mega-class escape hatch (round 7) — see ClassGuard: an
+      // identical-signature class above spark.graft.maxClassSize
+      // members keeps only its representative in the roster (so the
+      // band join and cross expansion stay bounded) and emits its
+      // hamming-0 intra pairs as a linear star below.
+      val (sigs0, megaStars) = graft.ops.ClassGuard.collapse(
+        base.filter(col("sim").isNotNull), "sim", "doc_id",
+        Seq(), graft.ops.ClassGuard.cap(spark))
+      val sigs = sigs0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("sim"),
         explode(array((0 until 4).map(j =>
@@ -521,7 +549,12 @@ object TextQueries {
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("sim").as("sim_a"), col("sim").as("sim_b"),
           lit(0).as("hamming"))
-      cross.unionByName(intra)
+      // mega-class star: rep = min id, so doc_a < doc_b holds
+      val starIntra = megaStars
+        .select(col("rep").as("doc_a"), col("member").as("doc_b"),
+          col("sim").as("sim_a"), col("sim").as("sim_b"),
+          lit(0).as("hamming"))
+      cross.unionByName(intra).unionByName(starIntra)
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
           col("hamming").cast("int").as("hamming"))
     },
@@ -1949,9 +1982,12 @@ object TextQueries {
       // and class pairs expand back to doc pairs at the end
       val keyed = base.select(col("doc_id"), col("hs"),
         xxhash64(array_sort(col("hs"))).as("k"))
-      val classes = keyed.groupBy("k")
-        .agg(collect_list(col("doc_id")).as("ids"),
-          first(col("hs")).as("hs"), count(lit(1)).as("cls"))
+      // mega-class escape hatch (round 7) — see ngramJaccardPairs /
+      // ClassGuard: rosters above the cap collapse to [min id], intra
+      // pairs become a linear star
+      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+        keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
+      val classes = classes0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2002,8 +2038,16 @@ object TextQueries {
         .filter(col("doc_in") =!= col("doc_of"))
         .select(col("doc_in"), col("doc_of"), col("n").as("shared"),
           col("n").as("n_in"), lit(10000L).as("cont_bp"))
+      // mega-class star, BOTH ordered directions (containment is
+      // directional and intra emits doc_in ≠ doc_of both ways)
+      val starIntra = megaStars.join(nn, Seq("k"))
+        .select(col("n"), explode(array(
+          struct(col("rep").as("doc_in"), col("member").as("doc_of")),
+          struct(col("member").as("doc_in"), col("rep").as("doc_of")))).as("e"))
+        .select(col("e.doc_in").as("doc_in"), col("e.doc_of").as("doc_of"),
+          col("n").as("shared"), col("n").as("n_in"), lit(10000L).as("cont_bp"))
       cross.select("doc_in", "doc_of", "shared", "n_in", "cont_bp")
-        .unionByName(intra)
+        .unionByName(intra).unionByName(starIntra)
     },
     Some("""WITH raw AS (
       SELECT doc_id, text FROM documents
