@@ -328,6 +328,78 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** pair_overlap(a: array<long>, b: array<long>) → bigint: the
+    * multiset join count Σ over values v of cnt_a(v)·cnt_b(v) — the
+    * number of rows `explode(a) JOIN explode(b) ON equal value` would
+    * produce. Row-local replacement for the token-anchored
+    * explode-join + groupBy-count that the exact-truth verification
+    * stage used to pay per candidate pair (pair × |tokens| shuffle
+    * rows): with the shingle-hash arrays carried on the pair row, the
+    * overlap is one generated kernel call inside whole-stage codegen.
+    * MULTISET (not distinct) semantics are load-bearing: `hs` dedups
+    * shingle STRINGS before hashing, so two distinct shingles
+    * colliding mod P leave a duplicate hash value, and the SQL join
+    * the oracle runs counts cnt_a·cnt_b for it — `array_intersect`
+    * (distinct) would silently disagree on exactly those rows. NULL
+    * elements never join in SQL, so they are skipped here. */
+  case class PairOverlap(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    private def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (ok(left.dataType) && ok(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_pair_overlap"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      pairOverlapKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.TextExpressions.pairOverlapKernel($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Sort-merge multiset overlap: copy non-null values, sort both,
+    * two-pointer over equal-value runs multiplying run lengths.
+    * O((m+n) log) time, no hashing, no boxing. */
+  def pairOverlapKernel(a: ArrayData, b: ArrayData): Long = {
+    def vals(x: ArrayData): Array[Long] = {
+      val n = x.numElements()
+      val out = new Array[Long](n)
+      var m = 0; var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) { out(m) = x.getLong(i); m += 1 }
+        i += 1
+      }
+      val r = if (m == n) out else java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(r)
+      r
+    }
+    val xs = vals(a); val ys = vals(b)
+    var i = 0; var j = 0; var s = 0L
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) < ys(j)) i += 1
+      else if (xs(i) > ys(j)) j += 1
+      else {
+        val v = xs(i); var ci = 0L; var cj = 0L
+        while (i < xs.length && xs(i) == v) { ci += 1; i += 1 }
+        while (j < ys.length && ys(j) == v) { cj += 1; j += 1 }
+        s += ci * cj
+      }
+    }
+    s
+  }
+
   // static entry points for the generated code (fixed signatures)
   def shingleHashesModP(a: ArrayData): ArrayData = shingleHashKernel(a, modP = true)
   def wordHashes60(a: ArrayData): ArrayData = wordHashKernel(a, modP = false)
@@ -429,5 +501,6 @@ object TextExpressions {
     reg1("graft_simhash60", SimHash60)
     reg1("graft_nfc", NfcNormalize)
     reg2("graft_jaro_winkler", JaroWinkler)
+    reg2("graft_pair_overlap", PairOverlap)
   }
 }

@@ -71,6 +71,13 @@ object TextOps {
   def wordHashes60(wordsCol: Column): Column =
     call_function("graft_word_hashes60", wordsCol)
 
+  /** Multiset join-overlap Σ cnt_a(v)·cnt_b(v) of two hash arrays —
+    * the row-local equivalent of `explode JOIN explode` + count
+    * (native kernel; see TextExpressions.PairOverlap). Requires
+    * TextExpressions.register (done in Tables.ensureConf). */
+  def pairOverlap(a: Column, b: Column): Column =
+    call_function("graft_pair_overlap", a, b)
+
   /** MinHash signature (k values) over a set of hashed shingles:
     * mh_i = min over h of (a_i*h + b_i) mod P. Row-local; computed by
     * the native `graft_minhash` expression — one codegen'd loop
