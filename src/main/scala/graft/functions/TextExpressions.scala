@@ -495,6 +495,12 @@ object TextExpressions {
           })
       }
     }
+    reg2("graft_capped_roster", (c, capE) => capE match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) =>
+        CappedRoster(c, v).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_capped_roster cap must be an integer literal, got $other")
+    })
     reg1("graft_minhash", MinHashSignature)
     reg1("graft_shingle_hashes", ShingleHashes)
     reg1("graft_word_hashes60", WordHashes60)

@@ -139,10 +139,10 @@ object SimilarityQueries {
       // mega-class escape hatch (round 7) — see ClassGuard: rosters
       // above spark.graft.maxClassSize collapse to [min id], intra
       // pairs become a linear star (byte-identical below the cap)
-      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+      // classes is a projection of the frame collapse persists
+      // internally — a second persist would materialize twice.
+      val (classes, megaStars) = graft.ops.ClassGuard.collapse(
         keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
-      val classes = classes0
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val tok = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // df is DOCUMENT frequency: weight each class entry by class size

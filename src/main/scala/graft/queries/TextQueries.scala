@@ -233,10 +233,10 @@ object TextQueries {
       // expansion a quadratic output; ClassGuard routes such classes
       // through their representative (roster = [min id], intra = a
       // linear star). Below the cap: byte-identical, oracle-green.
-      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+      // classes is a projection of the frame collapse persists
+      // internally — a second persist would materialize twice.
+      val (classes, megaStars) = graft.ops.ClassGuard.collapse(
         keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
-      val classes = classes0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df is DOCUMENT frequency: weight each class entry by class size
@@ -506,11 +506,10 @@ object TextQueries {
       // members keeps only its representative in the roster (so the
       // band join and cross expansion stay bounded) and emits its
       // hamming-0 intra pairs as a linear star below.
-      val (sigs0, megaStars) = graft.ops.ClassGuard.collapse(
+      // sigs is a projection of the frame collapse persists internally
+      val (sigs, megaStars) = graft.ops.ClassGuard.collapse(
         base.filter(col("sim").isNotNull), "sim", "doc_id",
         Seq(), graft.ops.ClassGuard.cap(spark))
-      val sigs = sigs0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("sim"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
@@ -1985,10 +1984,10 @@ object TextQueries {
       // mega-class escape hatch (round 7) — see ngramJaccardPairs /
       // ClassGuard: rosters above the cap collapse to [min id], intra
       // pairs become a linear star
-      val (classes0, megaStars) = graft.ops.ClassGuard.collapse(
+      // classes is a projection of the frame collapse persists
+      // internally — a second persist would materialize twice.
+      val (classes, megaStars) = graft.ops.ClassGuard.collapse(
         keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
-      val classes = classes0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = ex.groupBy("s").agg(sum(col("cls")).as("df"))
