@@ -83,6 +83,12 @@ object Bench {
     }
     val calibStart = calibMs()
     var calibEnd = -1.0
+    // Mid-run probes (round 9): r8's steal window was INTERIOR — the
+    // start/end probes both read clean, so 25 inflated medians could
+    // not be attributed to steal from the artifact alone. A probe
+    // every ~20 queries timestamps the steal evidence against the
+    // query sequence: (queries-done index, probe ms).
+    val calibMid = mutable.ArrayBuffer[(Int, Double)]()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Execute the FULL plan and discard rows: count() would let the
@@ -104,10 +110,10 @@ object Bench {
     val srcHash = sourceHash()
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.tsv")
     def histKey = s"$srcHash\t$sfDir\t$cpus"
-    val histMedians: Seq[Map[String, Double]] =
-      if (srcHash.isEmpty || !Files.isRegularFile(Paths.get(histPath))) Seq.empty
+    def parseHist(pred: String => Boolean): Seq[Map[String, Double]] =
+      if (!Files.isRegularFile(Paths.get(histPath))) Seq.empty
       else Files.readAllLines(Paths.get(histPath)).asScala.toSeq
-        .filter(_.startsWith(histKey + "\t"))
+        .filter(pred)
         .map { line =>
           line.split('\t').drop(3).flatMap { kv =>
             kv.split('=') match {
@@ -116,8 +122,21 @@ object Bench {
             }
           }.toMap
         }
+    val histMedians: Seq[Map[String, Double]] =
+      if (srcHash.isEmpty) Seq.empty else parseHist(_.startsWith(histKey + "\t"))
+    // ANY-hash history at the same (sf, cpus): REPORTED values never
+    // touch it (same-hash rule — a changed query must re-earn its
+    // number), but as a SCHEDULING estimate a stale median beats the
+    // global-average fallback by an order of magnitude. r7/r8 both ran
+    // right after src/main changed (history_runs = 0), so every query
+    // was estimated at ~the running mean — cheap queries over-reserved,
+    // the tail went untimed (55 of 157 at r8).
+    val schedHist: Seq[Map[String, Double]] = parseHist { line =>
+      val cols = line.split('\t')
+      cols.length > 3 && cols(1) == sfDir && cols(2) == cpus
+    }
     val histEst: Map[String, Double] = names.flatMap { n =>
-      val hs = histMedians.flatMap(_.get(n)).filter(_ >= 0)
+      val hs = schedHist.flatMap(_.get(n)).filter(_ >= 0)
       if (hs.isEmpty) None else Some(n -> hs.min)
     }.toMap
 
@@ -159,7 +178,9 @@ object Bench {
       val measuredTotal = totalOf(measuredVal, names)
       val minTotal = results.values.filter(_.head >= 0).map(_.head).sum
       val maxTotal = results.values.filter(_.head >= 0).map(_.last).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mergedVal, names)},"sf":"$sfDir","partial":$partial,"n_queries":${names.size},"n_done":${done.size},"deadline_s":$deadlineS,"elapsed_s":${f"$elapsedS%.1f"},"passes_used":${jmap(n => passesUsed.getOrElse(n, 0).toDouble, names)},"failed":${jarr(failed)},"untimed":${jarr(untimed)},"cold":${jarr(coldOnly)},"retried":${jarr(retried)},"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"measured_total":$measuredTotal,"queries_measured":${jmap(measuredVal, names)},"history_runs":${histMedians.size},"source_hash":"${srcHash.take(12)}","note":"per-query value = min over {this run's median, ${histMedians.size} same-code history runs} (host has CPU-steal stalls); passes adapt to the wall deadline; untimed queries fall back to history and are listed; -1 = failed/no data, excluded from totals"}"""
+      val midJson = calibMid.map { case (i, ms) => s"[$i,${f"$ms%.1f"}]" }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mergedVal, names)},"sf":"$sfDir","partial":$partial,"n_queries":${names.size},"n_done":${done.size},"deadline_s":$deadlineS,"elapsed_s":${f"$elapsedS%.1f"},"passes_used":${jmap(n => passesUsed.getOrElse(n, 0).toDouble, names)},"failed":${jarr(failed)},"untimed":${jarr(untimed)},"cold":${jarr(coldOnly)},"retried":${jarr(retried)},"min_total":$minTotal,"max_total":$maxTotal,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"calib_ms_mid":$midJson,"sched_history_runs":${schedHist.size},"measured_total":$measuredTotal,"queries_measured":${jmap(measuredVal, names)},"history_runs":${histMedians.size},"source_hash":"${srcHash.take(12)}","note":"per-query value = min over {this run's median, ${histMedians.size} same-code history runs} (host has CPU-steal stalls); passes adapt to the wall deadline; untimed queries fall back to history and are listed; -1 = failed/no data, excluded from totals; calib_ms_mid = [queries-done, probe-ms] every ~20 queries (steal attribution)"}"""
     }
     def writeReport(partial: Boolean): Unit =
       try Files.writeString(Paths.get(reportPath), fullJson(partial) + "\n")
@@ -219,10 +240,18 @@ object Bench {
     // starts early enough that EVERY query gets at least one run on a
     // quiet-ish schedule.
     val maxPasses = 5
+    // Retry reserve (round 9): r8's retry phase starved (860 s elapsed
+    // of 900 when it started), so steal-inflated medians went out
+    // unchallenged. The PASS-COUNT decision pretends this slice is
+    // already spent — degradation to 3 passes starts earlier — but the
+    // run/skip decision ignores it: timing a query once always beats
+    // reserving its slot for retries of others.
+    val retryReserveS = math.min(90.0, deadlineS * 0.08)
     names.zipWithIndex.foreach { case (name, i) =>
+      if (i > 0 && i % 20 == 0) calibMid += ((i, calibMs()))
       val restEst = names.drop(i + 1).map(est).sum
       val mine = est(name)
-      val avail = remainingS - restEst * 2
+      val avail = remainingS - retryReserveS - restEst * 2
       val p =
         if (remainingS <= mine * 1.2) 0
         else if (avail >= mine * (maxPasses + 1)) maxPasses

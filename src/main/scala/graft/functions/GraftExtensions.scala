@@ -62,5 +62,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tinfo("graft_word_hashes60"),
       (es: Seq[Expression]) =>
         TextExpressions.WordHashes60(arity("graft_word_hashes60", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      tinfo("graft_simhash60"),
+      (es: Seq[Expression]) =>
+        TextExpressions.SimHash60(arity("graft_simhash60", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      tinfo("graft_nfc"),
+      (es: Seq[Expression]) =>
+        TextExpressions.NfcNormalize(arity("graft_nfc", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      tinfo("graft_jaro_winkler"),
+      (es: Seq[Expression]) => { arity("graft_jaro_winkler", 2, es)
+        TextExpressions.JaroWinkler(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_pair_overlap"),
+      tinfo("graft_pair_overlap"),
+      (es: Seq[Expression]) => { arity("graft_pair_overlap", 2, es)
+        TextExpressions.PairOverlap(es(0), es(1)) }))
+    // ClassGuard.collapse calls this by name — without it an
+    // extensions-only session (no Tables.ensureConf) failed analysis
+    // on every guarded dedup query with 'unresolved function'
+    // (ADVICE r8). Same integer-literal cap contract as the
+    // FunctionRegistry path in TextExpressions.register.
+    ext.injectFunction((FunctionIdentifier("graft_capped_roster"),
+      tinfo("graft_capped_roster"),
+      (es: Seq[Expression]) => { arity("graft_capped_roster", 2, es)
+        es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: Int, org.apache.spark.sql.types.IntegerType) =>
+            CappedRoster(es.head, v).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"graft_capped_roster cap must be an integer literal, got $other")
+        }
+      }))
   }
 }

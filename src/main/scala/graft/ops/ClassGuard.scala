@@ -72,8 +72,8 @@ object ClassGuard {
     spark.conf.getOption(ConfKey).flatMap(_.toIntOption).getOrElse(DefaultCap)
 
   /** Collapse a member-level frame (one row per doc: `keyCol`,
-    * `idCol` — a LONG id, `payload` columns constant within a class)
-    * into
+    * `idCol` — a LONG id, NEVER NULL; `payload` columns constant
+    * within a class) into
     *
     *  - `classes`: one row per class — `keyCol`, `ids` (full roster
     *    when |class| <= capSize, `[min(id)]` above it), each payload
@@ -88,6 +88,24 @@ object ClassGuard {
     * Materializes the class aggregate eagerly (it is the frame every
     * caller persists and reuses; `classes` comes back persisted, so
     * call sites must NOT persist it again).
+    *
+    * CONTRACT — null ids: [[graft.functions.CappedRoster]] skips NULL
+    * `idCol` values entirely (collect_list parity), so a null member
+    * row is invisible to `cls`, `rep`, AND the roster — class size
+    * semantics shift vs `count(lit(1))` if ids can be null. Every
+    * caller keys on `doc_id`, which the fixtures and the documents
+    * schema guarantee non-null; a new caller with nullable ids must
+    * filter them first (as q_dedup_simhash filters NULL signatures).
+    *
+    * CONTRACT — cache lifetime: the internal aggregate stays persisted
+    * for the life of the returned (lazy) plans — callers hand
+    * `classes`/`stars` on as unexecuted DataFrames, so there is no
+    * point at which they could unpersist it themselves. Release is
+    * session-level, like every other query-layer persist (base / ex /
+    * idx in the dedup family): Bench/Verify clearState() between
+    * queries (`spark.catalog.clearCache()` + unpersist of all
+    * persistent RDDs). A long-lived interactive session composing
+    * guarded queries repeatedly should do the same.
     */
   def collapse(members: DataFrame, keyCol: String, idCol: String,
       payload: Seq[String], capSize: Int): (DataFrame, DataFrame) = {

@@ -2329,16 +2329,22 @@ object TextQueries {
     *
     * Scale: explode + one combinable min-aggregate keyed by shingle +
     * one join back on the same key — two shuffles, the inverted-index
-    * shape of the jaccard family (string keys here; at corpus scale
-    * carry stringHash like q_dedup_ngram_jaccard). */
+    * shape of the jaccard family. Both shuffles carry stringHash-ed
+    * 8-byte longs, not ~25-byte shingle strings, exactly like
+    * q_dedup_ngram_jaccard (round 9; the string variant shipped ~3×
+    * the exchange bytes). The hash is applied AFTER the non-empty
+    * filter and BEFORE the persist/shuffle; the oracle hashes
+    * identically, so a mod-P collision (which merges two shingles'
+    * first-occurrence classes) agrees between engines. */
   val qNgramNovelty = Q(
     "q_ngram_novelty",
     (spark, dir) => {
       Tables.ensureConf(spark)
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
       val tok = d.select(col("doc_id"),
-        explode(array_distinct(shingles3(words(col("text"))))).as("s"))
-        .filter(col("s") =!= "")
+        explode(array_distinct(shingles3(words(col("text"))))).as("s0"))
+        .filter(col("s0") =!= "")
+        .select(col("doc_id"), stringHash(col("s0")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val first = tok.groupBy("s").agg(min("doc_id").as("first_doc"))
       tok.join(first, Seq("s"))
@@ -2356,8 +2362,10 @@ object TextQueries {
       FROM (SELECT doc_id,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents)),
-    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
-    tokf AS (SELECT doc_id, s FROM tok WHERE s <> ''),
+    tok AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+    tokf AS (SELECT doc_id,
+      CAST(('0x'||substr(md5(s0),1,15)) AS BIGINT) % 2147483647 AS s
+      FROM tok WHERE s0 <> ''),
     f AS (SELECT s, MIN(doc_id) AS first_doc FROM tokf GROUP BY 1)
     SELECT t.doc_id, COUNT(*) AS n_shingles,
       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
@@ -2482,13 +2490,28 @@ object TextQueries {
         .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= expr(s"($tn*(na + nb) + ${tn + td - 1}) div ${tn + td}"))
         .select("doc_a", "doc_b").distinct()
-      val nn = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Exact-overlap verification via the native graft_pair_overlap
+      // kernel (round 9; it sat registered-unused for two rounds):
+      // attach each side's cached hash array by id and compute the
+      // multiset join count row-locally, instead of re-exploding both
+      // docs' tokens through a (pair × |tokens|)-row join + groupBy.
+      // Two pair-id-keyed joins carrying one array each replace one
+      // token-keyed join whose row count was Σ_pairs |tokens| — and
+      // the per-doc set size is just size(hs) (tok has no filter, so
+      // the old window count(n) == size). Multiset semantics match the
+      // explode-join exactly (PropertySpec pins the kernel against the
+      // composed form incl. NULL/empty/dup arrays); hs is non-null for
+      // every doc (shingleHashes of non-null text), so the kernel's
+      // null-propagation never fires here.
       val truth = candT
-        .join(tok.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(nn.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(nn.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+          Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          pairOverlap(col("hs_a"), col("hs_b")).as("shared"),
+          size(col("hs_a")).cast("long").as("na"),
+          size(col("hs_b")).cast("long").as("nb"))
         .filter(col("shared") * td >=
           (col("na") + col("nb") - col("shared")) * tn)
         .select("doc_a", "doc_b")

@@ -341,4 +341,39 @@ class PropertySpec extends SparkSpec {
       val v = jw(a, b); assert(v >= 0.0 && v <= 1.0)
     }
   }
+
+  test("graft_pair_overlap equals the explode-join multiset count") {
+    // The kernel q_dedup_lsh_eval's exact-truth stage runs row-locally
+    // in place of `explode JOIN explode ON value` + count. Parity must
+    // hold on MULTISETS (duplicate values multiply: cnt_a·cnt_b),
+    // empty arrays (0), and null ELEMENTS (SQL equi-joins never match
+    // NULL, the kernel skips them). Values drawn from a 6-value
+    // universe so duplicates and cross-side collisions are dense.
+    val smallVal = Gen.choose(0L, 5L)
+    val arr = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(9 -> smallVal.map(Option(_)), 1 -> Gen.const(Option.empty[Long]))))
+    forAll(Gen.zip(arr, arr)) { case (a, b) =>
+      val df = Seq((1L, a, b)).toDF("id", "a", "b")
+      val kernel = df.select(TextOps.pairOverlap(col("a"), col("b")))
+        .as[Long].head()
+      val ea = df.select(col("id"), explode(col("a")).as("v"))
+      val eb = df.select(col("id"), explode(col("b")).as("v"))
+      val joined = ea.join(eb, Seq("id", "v")).count()
+      assert(kernel === joined)
+      // scala multiset reference closes the triangle
+      val ca = a.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val cb = b.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val ref = ca.map { case (v, n) => n * cb.getOrElse(v, 0L) }.sum
+      assert(kernel === ref)
+    }
+    // pinned DIVERGENCE on a NULL array (not element): the kernel
+    // null-propagates like every scalar SQL function, while explode of
+    // a NULL array emits zero rows so the join-count reads 0. Callers
+    // must not feed NULL arrays expecting 0 (lsh_eval's hs is non-null
+    // by construction).
+    val dfn = Seq((1L, Option.empty[Seq[Long]], Option(Seq(1L, 2L))))
+      .toDF("id", "a", "b")
+    assert(dfn.select(TextOps.pairOverlap(col("a"), col("b")))
+      .as[Option[Long]].head() === None)
+  }
 }

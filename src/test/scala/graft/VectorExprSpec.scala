@@ -87,9 +87,16 @@ class VectorExprSpec extends SparkSpec {
     // spark.sql.extensions=graft.functions.GraftExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
+    // full parity with TextExpressions.register + VectorExpressions
+    // .register + BloomFunctions: an extensions-only session (no
+    // Tables.ensureConf) must resolve every function the query layer
+    // calls by name — graft_capped_roster especially, or every
+    // ClassGuard-guarded dedup query fails analysis (ADVICE r8).
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
       === Set("graft_dot", "graft_scale_div", "graft_quantize",
         "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60",
+        "graft_simhash60", "graft_nfc", "graft_jaro_winkler",
+        "graft_pair_overlap", "graft_capped_roster",
         "graft_bloom_agg", "graft_bloom_contains", "graft_bloom_sharded"))
   }
 
