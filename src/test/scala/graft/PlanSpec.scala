@@ -604,6 +604,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q_ngram_novelty: every shuffle keys on a hashed LONG, never the shingle string") {
+    // Round-9 change (VERDICT r8 item 7): the min-agg + join-back used
+    // to exchange raw shingle STRINGS; both shuffles now carry
+    // stringHash-ed longs (P20 A/B: shuffle write 5.08 -> 3.26 MiB).
+    // Long attributes render with an `L` suffix in the plan string, so
+    // a regression to string keys fails this key-type scan.
+    val plan = planString("q_ngram_novelty")
+    val keyLists = "hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keyLists.nonEmpty, plan)
+    keyLists.foreach { args =>
+      val keys = args.split(",").map(_.trim).filter(_.contains("#"))
+      assert(keys.nonEmpty, s"no key attribute in hashpartitioning($args)")
+      keys.foreach { k =>
+        assert(k.matches("""\w+#\d+L"""),
+          s"shuffle key `$k` is not a plain long attribute — the raw " +
+            s"shingle string leaked back into an exchange: $plan")
+      }
+    }
+  }
+
   test("q_tokenizer_fertility: row-local counts + combinable aggregate, no join") {
     val plan = planString("q_tokenizer_fertility")
     assert(!plan.contains("Join"), plan)
@@ -663,6 +684,16 @@ class PlanSpec extends SparkSpec {
     val plan = planString("q_dedup_lsh_eval")
     assert(!plan.contains("CartesianProduct"), plan)
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("q_dedup_lsh_eval: the exact-truth stage runs the pair_overlap kernel, not an explode-join") {
+    // Round-9 change (carried from r6): the (pairs x |tokens|)-row
+    // explode-join + groupBy was replaced by two pair-id-keyed joins
+    // carrying one cached hash array each + the row-local
+    // graft_pair_overlap multiset kernel (PropertySpec pins its
+    // semantics; this pins that the query actually USES it).
+    val plan = planString("q_dedup_lsh_eval")
+    assert(plan.contains("graft_pair_overlap"), plan)
   }
 
   test("q_interval_merge: per-user windows only, no join, no single partition") {
