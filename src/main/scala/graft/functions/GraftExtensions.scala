@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tinfo("graft_nfc"),
       (es: Seq[Expression]) =>
         TextExpressions.NfcNormalize(arity("graft_nfc", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_sampled_substrings"),
+      tinfo("graft_sampled_substrings"),
+      (es: Seq[Expression]) => TextExpressions.SampledSubstrings32(
+        arity("graft_sampled_substrings", 1, es).head)))
     ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
       tinfo("graft_jaro_winkler"),
       (es: Seq[Expression]) => { arity("graft_jaro_winkler", 2, es)

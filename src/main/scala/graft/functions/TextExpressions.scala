@@ -467,6 +467,80 @@ object TextExpressions {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  // MessageDigest is stateful and not thread-safe, and local-mode
+  // tasks can evaluate the same plan object concurrently.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Winnowing sample kernel for q_dedup_substring: every K=32-code-
+    * point substring of `t` whose md5 hex digest starts with '0' (top
+    * nibble zero — 1/16 of positions, selected by CONTENT so duplicated
+    * regions sample identically at any alignment). Bit-identical to the
+    * `explode(sequence(1, length-31)) → substring → md5-prefix filter`
+    * pipeline it replaced, which materialized EVERY position through
+    * Generate before the sample kept 1 in 16 (round-9 P21 interleaved
+    * A/B at sf0.1: 5.27 s → 1.33 s median, same rows+hash; the kernel
+    * does the same md5 work but skips the 16× row traffic). The oracle
+    * is unchanged: DuckDB's substr/md5 mirror stays valid because the
+    * sample SET is the same.
+    *
+    * Windows are counted in CODE POINTS to match Spark's `length`/
+    * `substring` SQL semantics on non-BMP text (PropertySpec pins with
+    * surrogate pairs): one UTF-8 pass marks code-point byte offsets
+    * (continuation bytes are 10xxxxxx), then each window is digested
+    * straight from the byte array — no per-position String or copy
+    * until a window is actually kept. */
+  def sampledSubstrings32(t: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val K = 32
+    val bytes = t.getBytes
+    var n = 0
+    var b = 0
+    while (b < bytes.length) { if ((bytes(b) & 0xC0) != 0x80) n += 1; b += 1 }
+    if (n < K) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val offsets = new Array[Int](n + 1)
+    var i = 0; b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) { offsets(i) = b; i += 1 }
+      b += 1
+    }
+    offsets(n) = bytes.length
+    val md = md5Local.get()
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    val last = n - K
+    while (i <= last) {
+      val s = offsets(i); val e = offsets(i + K)
+      md.reset()
+      md.update(bytes, s, e - s)
+      if ((md.digest()(0) & 0xF0) == 0)
+        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, s, e - s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** sampled_substrings(t: string) → array<string> of the winnowing-
+    * sampled 32-code-point shingles (see [[sampledSubstrings32]]). */
+  case class SampledSubstrings32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${dt.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_sampled_substrings"
+    override protected def nullSafeEval(input: Any): Any =
+      sampledSubstrings32(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        s"${ev.value} = graft.functions.TextExpressions.sampledSubstrings32($t);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotent session-level registration (same pattern as
     * [[VectorExpressions.register]]). */
   def register(spark: SparkSession): Unit = {
@@ -506,6 +580,7 @@ object TextExpressions {
     reg1("graft_word_hashes60", WordHashes60)
     reg1("graft_simhash60", SimHash60)
     reg1("graft_nfc", NfcNormalize)
+    reg1("graft_sampled_substrings", SampledSubstrings32)
     reg2("graft_jaro_winkler", JaroWinkler)
     reg2("graft_pair_overlap", PairOverlap)
   }

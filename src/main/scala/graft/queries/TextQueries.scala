@@ -1529,9 +1529,11 @@ object TextQueries {
     * would miss copies at different offsets. A seeded banner
     * (doc_id % 7) plants a known cross-doc duplicated span.
     *
-    * Scale: the explode is row-local (chars → candidate positions);
-    * only the 1/16 sample enters the one shuffle (groupBy shingle);
-    * the per-doc rollup joins sample-sized sides keyed by the same
+    * Scale: the sampling is row-local inside ONE native codegen'd
+    * kernel (`graft_sampled_substrings` — the md5 scan never leaves
+    * the map task, and only the kept 1/16 become rows at all); the
+    * sample alone enters the one shuffle (groupBy shingle); the
+    * per-doc rollup joins sample-sized sides keyed by the same
     * shingle column. No all-pairs anything; cost is O(total chars)
     * map-side + O(chars/16) shuffle. */
   val qDedupSubstring = Q(
@@ -1546,11 +1548,14 @@ object TextQueries {
           when(col("doc_id") % 7 === 0, concat(lit(banner), col("text")))
             .otherwise(col("text")).as("t"))
         .filter(length(col("t")) >= K)
+      // Round-9 P21 A/B: the explode(sequence)→substring→md5 form
+      // materialized EVERY position through Generate before the 1/16
+      // sample kept any (5.27 s at sf0.1); the native kernel emits
+      // only the sampled shingles row-locally (1.33 s) with the SAME
+      // md5-prefix sample set, so the DuckDB oracle is unchanged.
       val sampled = seeded
-        .select(col("doc_id"), col("t"),
-          explode(expr(s"sequence(1, length(t) - ${K - 1})")).as("p"))
-        .select(col("doc_id"), expr(s"substring(t, p, $K)").as("sh"))
-        .filter(substring(md5(col("sh")), 1, 1) === "0")
+        .select(col("doc_id"),
+          explode(call_function("graft_sampled_substrings", col("t"))).as("sh"))
       val dup = sampled.groupBy("sh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)

@@ -315,11 +315,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("q_dedup_substring: winnowing filter runs before the shingle shuffle") {
+  test("q_dedup_substring: winnowing sample is the native kernel, before the shuffle") {
     val plan = planString("q_dedup_substring")
-    // the 1/16 md5 selection must sit under the exchange: the filter
-    // appears in the plan, and no nested-loop/cartesian join sneaks in
-    assert(plan.contains("md5"), plan)
+    // the 1/16 selection happens inside graft_sampled_substrings (one
+    // row-local kernel under the exchange — round-9 P21: 4x over the
+    // explode+md5 form it replaced), and no nested-loop/cartesian
+    // join sneaks in
+    assert(plan.contains("graft_sampled_substrings"), plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }

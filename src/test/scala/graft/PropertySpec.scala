@@ -376,4 +376,59 @@ class PropertySpec extends SparkSpec {
     assert(dfn.select(TextOps.pairOverlap(col("a"), col("b")))
       .as[Option[Long]].head() === None)
   }
+
+  test("graft_sampled_substrings equals the explode+substring+md5 composed form") {
+    // The kernel replaced q_dedup_substring's sample stage (round-9
+    // P21: 4x). Parity must hold per POSITION SET on the same md5
+    // top-nibble-zero selection, and the kernel's windows must count
+    // CODE POINTS exactly like Spark's substring/length — pinned with
+    // fixed non-BMP cases (4-byte UTF-8 / UTF-16 surrogate pairs)
+    // plus randomized mixed-width strings.
+    val fixed = Seq(
+      "x" * 32,                                    // exactly one window
+      "the quick brown fox jumps over the lazy dog. " * 8,
+      "ab😀cd" * 12,                     // emoji every 5 cps
+      "é中🤖" * 20,             // 2/3/4-byte widths
+      ("z" * 40) + ("😀" * 8) + ("z" * 40))
+    val mixedChar = Gen.frequency(
+      8 -> Gen.alphaLowerChar.map(_.toString),
+      1 -> Gen.oneOf("é", "中", " "),
+      1 -> Gen.const("😀"))
+    val randText = Gen.choose(0, 120)
+      .flatMap(n => Gen.listOfN(n, mixedChar).map(_.mkString))
+    val texts = fixed ++ (0 until 10).map(i =>
+      randText.pureApply(Gen.Parameters.default, Seed(4242L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val longEnough = df.filter(length(col("t")) >= 32)
+    val composed = longEnough
+      .select(col("id"), col("t"),
+        explode(expr("sequence(1, length(t) - 31)")).as("p"))
+      .select(col("id"), expr("substring(t, p, 32)").as("sh"))
+      .filter(substring(md5(col("sh")), 1, 1) === "0")
+      .groupBy("id").agg(sort_array(collect_list("sh")).as("shs"))
+    val kernel = longEnough
+      .select(col("id"),
+        sort_array(call_function("graft_sampled_substrings", col("t"))).as("shs"))
+    val mismatches = kernel.as("k")
+      .join(composed.as("c"), Seq("id"), "full_outer")
+      .filter(
+        // composed has no row when NOTHING sampled; kernel emits [] —
+        // those agree; any other difference is a parity break
+        !(coalesce(col("k.shs"), array()) <=> coalesce(col("c.shs"), array())))
+      .count()
+    assert(mismatches === 0L)
+    // at least one fixed case must actually sample something, or the
+    // parity assertion is vacuous
+    assert(kernel.filter(size(col("shs")) > 0).count() > 0)
+    // short input -> empty array (the query filters length >= 32
+    // before the kernel, but the kernel itself must not blow up);
+    // NULL input null-propagates like every scalar function
+    val edge = Seq((1L, Option("tiny")), (2L, Option.empty[String]))
+      .toDF("id", "t")
+      .select(call_function("graft_sampled_substrings", col("t")).as("shs"))
+      .collect()
+    assert(edge(0).getAs[scala.collection.Seq[String]]("shs").isEmpty)
+    assert(edge(1).isNullAt(0))
+  }
 }

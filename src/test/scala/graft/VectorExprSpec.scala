@@ -95,8 +95,8 @@ class VectorExprSpec extends SparkSpec {
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
       === Set("graft_dot", "graft_scale_div", "graft_quantize",
         "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60",
-        "graft_simhash60", "graft_nfc", "graft_jaro_winkler",
-        "graft_pair_overlap", "graft_capped_roster",
+        "graft_simhash60", "graft_nfc", "graft_sampled_substrings",
+        "graft_jaro_winkler", "graft_pair_overlap", "graft_capped_roster",
         "graft_bloom_agg", "graft_bloom_contains", "graft_bloom_sharded"))
   }
 
