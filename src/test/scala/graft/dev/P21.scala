@@ -50,12 +50,20 @@ object P21 {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "dev_sampled_substrings"
 
-    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    // ThreadLocal, not a shared lazy val: local-mode tasks can evaluate
+    // the SAME expression instance concurrently, and MessageDigest is
+    // not thread-safe — the exact hazard the promoted src/main kernel
+    // (TextExpressions.SampledSubstrings) documents. Matched here so
+    // the probe template others copy is safe (ADVICE r9).
+    @transient private lazy val mdTl =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
 
     override protected def nullSafeEval(input: Any): Any = {
       val t = input.asInstanceOf[UTF8String].toString
       val n = t.length - (K - 1)
       if (n <= 0) return new GenericArrayData(Array.empty[Any])
+      val md = mdTl.get()
       val out = scala.collection.mutable.ArrayBuffer[Any]()
       var i = 0
       while (i < n) {
