@@ -128,9 +128,30 @@ object Etl2 {
   }
 
   /** Exact + blocked-fuzzy vehicle resolution (etl2:195-250): exact
-    * 3-key broadcast join, anti-join residue, blocked Levenshtein on
+    * 3-key broadcast join, residue, blocked Levenshtein on
     * "model variant" within (2-char model prefix, make-year) blocks,
-    * deterministic best match, union. */
+    * deterministic best match, union.
+    *
+    * Round-10 shape (VERDICT r9 item 4): the reference expresses the
+    * residue as a separate LEFT ANTI join (etl2:216-218), which — with
+    * the per-registration window frame unpersisted — re-derived that
+    * window FOUR times in the composed fact plan (exact branch, anti
+    * probe, anti build via exact, residue re-attach), each a cache
+    * read + shuffle + sort over the keyed stage. Because the frame has
+    * exactly ONE row per tempRegistrationNumber (the __rn = 1 filter),
+    * the exact/residue split of the reference is equivalently the
+    * null/non-null split of a single LEFT join: rows that found a dim
+    * entry ARE the exact matches, rows that didn't ARE the anti-join
+    * residue, row for row. One persisted `matched` frame (one slim row
+    * per registration) replaces all four derivations; the anti join
+    * disappears entirely. Same cache-lifetime contract as ClassGuard's
+    * class frame: released by session-level clearState(), since the
+    * returned plan is lazy.
+    *
+    * Scale: `matched` is one row per entity observation — the frame a
+    * resolution cascade has to materialize anyway; persisting it trades
+    * O(observations) storage for re-running the dedup window per
+    * consumer, the right trade at any corpus size. */
   def resolveVehicles(df: DataFrame, dimVehicle: DataFrame): DataFrame = {
     val wReg = Window.partitionBy("tempRegistrationNumber")
       .orderBy(col("VEHICLE_ID").asc)
@@ -146,22 +167,21 @@ object Etl2 {
       lower(trim(col("VARIANT"))).as("dv_variant"),
       col("MAKE_YEAR").cast("string").as("dv_make_year"))
 
-    val exact = dfForMatch.as("s")
+    val matched = dfForMatch.as("s")
       .join(broadcast(dvLookup).as("dv"),
         lower(trim(col("s.modelName"))) === col("dv.dv_model") &&
           lower(trim(col("s.variant"))) === col("dv.dv_variant") &&
           col("s.MAKE_YEAR_KEY") === col("dv.dv_make_year"),
         "left")
-      .select(col("s.tempRegistrationNumber"),
+      .select(col("s.tempRegistrationNumber"), col("s.modelName"),
+        col("s.variant"), col("s.MAKE_YEAR_KEY"),
         col("dv.VEHICLE_ID").as("VEHICLE_ID_exact"))
-      .filter(col("VEHICLE_ID_exact").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val unresolvedKeys = dfForMatch.select("tempRegistrationNumber").distinct()
-      .join(exact.select("tempRegistrationNumber").distinct(),
-        Seq("tempRegistrationNumber"), "left_anti")
+    val exact = matched.filter(col("VEHICLE_ID_exact").isNotNull)
+      .select(col("tempRegistrationNumber"), col("VEHICLE_ID_exact"))
 
-    val unresolved = unresolvedKeys
-      .join(dfForMatch, Seq("tempRegistrationNumber"), "inner")
+    val unresolved = matched.filter(col("VEHICLE_ID_exact").isNull)
       .withColumn("FUZZY_KEY",
         lower(trim(concat_ws(" ", col("modelName"), col("variant")))))
       .withColumn("BLOCK_KEY", substring(lower(trim(col("modelName"))), 1, 2))
