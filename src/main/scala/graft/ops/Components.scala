@@ -50,11 +50,28 @@ object Components {
 
   /** Components of the undirected graph `edges` ("u","v" long columns,
     * self-loop-free). Returns one row per vertex that appears in any
-    * edge: (vtx, comp) with comp = min vertex id of the component. */
+    * edge: (vtx, comp) with comp = min vertex id of the component.
+    *
+    * `uniqueOrderedPairs`: caller warrants `edges` is duplicate-free
+    * with u < v per row (the natural output of every pair kernel in
+    * this codebase). With `escalateAfter = 0` that warrant lets the
+    * star phase start DIRECTLY from the reversed input — its
+    * orientation invariant is exactly "unique, u > v" — skipping the
+    * symmetric-closure explode, its persist, AND the filter+distinct
+    * exchange that would otherwise just reconstruct the input
+    * (round 10; the q_semantic_clusters chain-graph path). Ignored
+    * when propagation rounds run, since those consume the symmetric
+    * closure itself. */
   def connectedComponents(
       edges: DataFrame,
       escalateAfter: Int = EscalateAfterRounds,
-      maxStarRounds: Int = MaxStarRounds): DataFrame = {
+      maxStarRounds: Int = MaxStarRounds,
+      uniqueOrderedPairs: Boolean = false): DataFrame = {
+    if (escalateAfter == 0 && uniqueOrderedPairs) {
+      val cur0 = edges.select(col("v").as("u"), col("u").as("v"))
+        .localCheckpoint(eager = false) // starPhase's signature() materializes
+      return starPhase(cur0, maxStarRounds, () => ())
+    }
     // Symmetric closure via ONE generate rather than a self-union: the
     // union form scans `edges` twice, re-executing its whole upstream
     // lineage per side (for q_semantic_clusters that lineage is the
@@ -97,9 +114,19 @@ object Components {
     // ---- phase 2: large-star / small-star from the original edges ----
     // orientation invariant for both operations' outputs: (u, v) with
     // u > v. Establish it on the input first.
-    // lazy checkpoint: signature() below is the materializing action
-    var cur = sym.filter(col("u") > col("v")).distinct()
-      .localCheckpoint(eager = false)
+    // lazy checkpoint: starPhase's signature() is the materializing action
+    starPhase(sym.filter(col("u") > col("v")).distinct()
+        .localCheckpoint(eager = false),
+      maxStarRounds, () => sym.unpersist(false))
+  }
+
+  /** Large-star/small-star loop. `cur0` must be duplicate-free with
+    * u > v (the phase's orientation invariant); `afterFirstSig` runs
+    * once `cur0` has been materialized by the first signature action
+    * (the hook that lets the caller release its own persisted input). */
+  private def starPhase(cur0: DataFrame, maxStarRounds: Int,
+      afterFirstSig: () => Unit): DataFrame = {
+    var cur = cur0
     // consecutive-round fixpoint test: a cheap (count, hash-sum)
     // signature GATE, confirmed by an exact set compare when it fires.
     // The signature alone would fail in the dangerous direction: a
@@ -114,9 +141,9 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prevSig = signature(cur) // materializes cur's checkpoint
-    sym.unpersist(false)
-    converged = false
-    rounds = 0
+    afterFirstSig()
+    var converged = false
+    var rounds = 0
     while (!converged && rounds < maxStarRounds) {
       // Both star operations compute "min over my neighborhood" and
       // re-attach rows to it — expressed as a partition WINDOW min

@@ -751,7 +751,12 @@ object VectorQueries {
       // 7.09 s (budget 4) -> 6.20 s (skip straight to stars). Dedup
       // graphs keep the default: they are star-shaped and the
       // propagation phase converges in <= 3 cheap rounds there.
-      graft.ops.Components.connectedComponents(edges, escalateAfter = 0)
+      // uniqueOrderedPairs: the mutual-kNN aggregate emits each pair
+      // once with vec_a < vec_b, so the star phase starts from the
+      // reversed input directly — no symmetric-closure explode/persist
+      // and no filter+distinct exchange (Components scaladoc).
+      graft.ops.Components.connectedComponents(edges, escalateAfter = 0,
+          uniqueOrderedPairs = true)
         .select(col("vtx").as("vec_id"), col("comp").as("cluster"))
     },
     Some(s"""WITH RECURSIVE $knnSqlCtes,

@@ -42,6 +42,26 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(empty, escalateAfter = 5).isEmpty)
   }
 
+  test("uniqueOrderedPairs fast path == general star path == min-label path") {
+    // round-10 path: escalateAfter=0 + caller-warranted unique u<v
+    // input skips the symmetric closure and the filter+distinct; the
+    // labels must be identical to both general paths on graphs that
+    // exercise chains, cycles, and multiple components
+    for (seed <- 10 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct // unique, u < v — the warranted shape
+      val fast = Components.connectedComponents(edges.toDF("u", "v"),
+        escalateAfter = 0, uniqueOrderedPairs = true)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == cc(edges, escalateAfter = 0))
+      assert(fast == cc(edges, escalateAfter = 50))
+    }
+  }
+
   test("both paths agree with a union-find reference on seeded random graphs") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
