@@ -175,6 +175,15 @@ class PlanSpec extends SparkSpec {
       "dim lookups lost their broadcast")
   }
 
+  test("q_star_fact residue is the null branch of one left join, not an anti join") {
+    // round-10 fold: the resolution exact/residue split reads the persisted
+    // `matched` frame twice (IsNotNull / IsNull) instead of re-deriving the
+    // keyed window four times through a LeftAnti probe+build. A LeftAnti
+    // reappearing here means the fold regressed to the four-derivation plan.
+    val plan = planString("q_star_fact")
+    assert(!plan.contains("LeftAnti"), "resolution residue regressed to an anti join")
+  }
+
   test("q_sample_stratified is shuffle-free (row-local hash filter)") {
     // deterministic sampling must cost a scan and nothing else — an
     // Exchange would mean the sampler shuffles the whole corpus
