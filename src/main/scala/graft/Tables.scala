@@ -27,6 +27,29 @@ object Tables {
   /** A staging path under [[stagingDir]]. */
   def staging(sub: String): String = s"$stagingDir/$sub"
 
+  /** Scratch root for PER-INVOCATION streaming state: micro-batch input
+    * fixtures, checkpoint/offset/commit logs, state-store deltas, and
+    * the accumulated output each parity query reads back in the same
+    * call. Every parity deletes this tree at the top of its builder, so
+    * durability across a host crash buys nothing — the data's life is
+    * one invocation. That makes a RAM-backed filesystem the right
+    * default when one exists: the micro-batch tax is dominated by
+    * per-trigger fsyncs of tiny checkpoint files (offset log + commit
+    * log + state delta per batch), which tmpfs turns into memory
+    * writes. A cluster deployment sets GRAFT_STREAM_SCRATCH to shared
+    * storage (mandatory there anyway — executors must see the
+    * checkpoint), restoring the durable path without code change. */
+  val streamScratchDir: String = sys.env.get("GRAFT_STREAM_SCRATCH")
+    .orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_stream")
+      else None
+    }
+    .getOrElse(stagingDir)
+
+  /** A scratch path under [[streamScratchDir]]. */
+  def streamScratch(sub: String): String = s"$streamScratchDir/$sub"
+
   /** Idempotent; call at the top of every query builder so semantics do
     * not depend on who created the session. */
   def ensureConf(spark: SparkSession): Unit = {
@@ -63,6 +86,13 @@ object Tables {
     // With the session pinned to UTC the two flavors are numerically
     // identical, so read both as TIMESTAMP.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Streaming checkpoints here are per-invocation scratch (every
+    // parity deletes its tree at the top of its builder and never
+    // resumes), so retaining the default 100 batches of offset/commit/
+    // state files only multiplies tiny-file fsyncs per trigger.
+    // Durable deployments that resume from checkpoints would raise
+    // this; nothing in this engine does.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     graft.functions.VectorExpressions.register(spark)
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomFunctions.register(spark)

@@ -66,10 +66,17 @@ object GraphQueries {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // edges⋈outdeg is round-invariant: materialize it once,
+      // pre-partitioned by src, so each round's join exchanges only the
+      // node-sized ranks frame instead of re-aggregating and re-joining
+      // the edge list (round-10 P24: ~12% off the whole query, exact
+      // parity). Edge-sized like `edges` itself — nothing new to spill.
+      val contrib = edges.join(outdeg, Seq("src"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to Iters) {
-        val inbound = edges
-          .join(outdeg, Seq("src"))
+        val inbound = contrib
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
           .groupBy("node")

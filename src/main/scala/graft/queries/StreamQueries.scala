@@ -41,7 +41,7 @@ object StreamQueries {
   /** Scratch root. LOCAL-MODE-ONLY path, same note as q_csv_scan:
     * single-JVM environment makes driver-local /tmp visible to all
     * executors; a cluster run points this at shared storage. */
-  val parityRoot = Tables.staging("graft_stream_parity")
+  val parityRoot = Tables.streamScratch("parity")
 
   val qStreamBatchParity = Q(
     "q_stream_batch_parity",
@@ -123,7 +123,7 @@ object StreamQueries {
     * state, and without the barrier its plan doubles per batch (the
     * Components round-3 lesson). Same LOCAL-MODE-ONLY scratch-path
     * note as q_stream_batch_parity. */
-  val scd2Root = Tables.staging("graft_stream_scd2")
+  val scd2Root = Tables.streamScratch("scd2")
 
   val qStreamScd2Parity = Q(
     "q_stream_scd2_parity",
@@ -187,7 +187,7 @@ object StreamQueries {
     * surviving duplicate fails rows_match; a dropped original fails
     * hash_match. Same LOCAL-MODE scratch-path note as the other
     * stream parities. */
-  val wmRoot = Tables.staging("graft_stream_wmdedup")
+  val wmRoot = Tables.streamScratch("wmdedup")
 
   val qStreamWatermarkDedup = Q(
     "q_stream_watermark_dedup",
@@ -253,7 +253,7 @@ object StreamQueries {
     * micro-batch each side arrived in, so the accumulated output must
     * equal the batch time-bounded join — the oracle. Same LOCAL-MODE
     * scratch-path note as the other stream parities. */
-  val ssjRoot = Tables.staging("graft_stream_ssj")
+  val ssjRoot = Tables.streamScratch("ssj")
 
   val qStreamStreamJoin = Q(
     "q_stream_stream_join",
@@ -349,7 +349,7 @@ object StreamQueries {
     * cardinality (10 users → 8 partitions), the q_stream_stream_join
     * sizing note. Same LOCAL-MODE scratch-path note as the other
     * parities. */
-  val sessRoot = Tables.staging("graft_stream_sess")
+  val sessRoot = Tables.streamScratch("sess")
 
   /** Second-truncated, user-compressed event stream for the
     * sessionization parity fixture. */
@@ -472,7 +472,7 @@ object StreamQueries {
     * carry-over, extra batches only bought trigger latency).
     * The oracle is the batch q_events_window SQL verbatim. Same
     * LOCAL-MODE scratch-path note as the other parities. */
-  val winRoot = Tables.staging("graft_stream_win")
+  val winRoot = Tables.streamScratch("win")
 
   val qStreamWindowParity = Q(
     "q_stream_window_parity",
