@@ -143,20 +143,19 @@ object SimilarityQueries {
       // internally — a second persist would materialize twice.
       val (classes, megaStars) = graft.ops.ClassGuard.collapse(
         keyed, "k", "doc_id", Seq("hs"), graft.ops.ClassGuard.cap(spark))
-      val tok = classes.select(col("k"), col("cls"), explode(col("hs")).as("s"))
+      // n = |token set| is just size(hs): ride it through the explode
+      // instead of re-counting it downstream (the per-class window
+      // COUNT and the nn aggregate + its two joins all derived this
+      // same number from posting rows — round-10 P25 deleted them all)
+      val tok = classes.select(col("k"), col("cls"), size(col("hs")).as("n"),
+          explode(col("hs")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // df is DOCUMENT frequency: weight each class entry by class size
       val dfc = tok.groupBy("s").agg(sum(col("cls")).as("df"))
-      // row_number and the per-class size share ONE sort: both window
-      // specs partition by k, and Catalyst fuses them (measured:
-      // splitting n out into an aggregate + broadcast join back was
-      // ~25% slower than the fused window pass)
       val wrk = Window.partitionBy("k").orderBy(col("df").asc, col("s").asc)
-      val wn = Window.partitionBy("k")
       val ranked = tok.join(dfc, Seq("s"))
-        .select(col("k"), col("s"), col("df"),
-          row_number().over(wrk).as("rk"),
-          count(lit(1)).over(wn).as("n"))
+        .select(col("k"), col("s"), col("df"), col("n"),
+          row_number().over(wrk).as("rk"))
       // prefix length = n - ceil(3n/5) + 1 ; ceil(3n/5) = (3n+4) div 5.
       // df >= 2 drops singleton tokens from the candidate index with
       // ZERO completeness cost — a token shared by any pair appears in
@@ -182,23 +181,30 @@ object SimilarityQueries {
         .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= expr("(3*(na + nb) + 7) div 8"))
         .select("ka", "kb").distinct()
-      val nn = tok.groupBy("k").agg(count(lit(1)).as("n"))
-      val shared = cand
-        .join(tok.select(col("k").as("ka"), col("s")), Seq("ka"))
-        .join(tok.select(col("k").as("kb"), col("s")), Seq("kb", "s"))
-        .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
-      val cp = shared
-        // class cardinality: no forced broadcast (AQE decides) — a
-        // pinned broadcast of a corpus-sized table is an OOM at 100 TB
-        .join(nn.select(col("k").as("ka"), col("n").as("na")), Seq("ka"))
-        .join(nn.select(col("k").as("kb"), col("n").as("nb")), Seq("kb"))
+      // Exact verification is ROW-LOCAL (round-10 P25, ~30% off the
+      // whole query): the one join pair that fetches the roster ids
+      // for expansion also carries the token-set arrays, and shared =
+      // graft_pair_overlap(hs_a, hs_b) — the multiset join count the
+      // tok⋈tok⋈groupBy stage used to shuffle per candidate pair.
+      // MULTISET (not array_intersect) semantics are load-bearing:
+      // hs dedups shingle STRINGS before hashing, so colliding values
+      // must count cnt_a·cnt_b exactly as the oracle's posting join
+      // does. Class cardinality: no forced broadcast (AQE decides) —
+      // a pinned broadcast of a corpus-sized table is an OOM at 100 TB.
+      val cp = cand
+        .join(classes.select(col("k").as("ka"), col("hs").as("hs_a"),
+          col("ids").as("ids_a")), Seq("ka"))
+        .join(classes.select(col("k").as("kb"), col("hs").as("hs_b"),
+          col("ids").as("ids_b")), Seq("kb"))
+        .select(col("ids_a"), col("ids_b"),
+          expr("graft_pair_overlap(hs_a, hs_b)").as("shared"),
+          size(col("hs_a")).cast("long").as("na"),
+          size(col("hs_b")).cast("long").as("nb"))
         .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 3)
-        .select(col("ka"), col("kb"), col("shared"),
+        .select(col("ids_a"), col("ids_b"), col("shared"),
           round(lit(10000.0) * col("shared") / (col("na") + col("nb") - col("shared")))
             .cast("long").as("jacc_bp"))
       val cross = cp
-        .join(classes.select(col("k").as("ka"), col("ids").as("ids_a")), Seq("ka"))
-        .join(classes.select(col("k").as("kb"), col("ids").as("ids_b")), Seq("kb"))
         .select(col("shared"), col("jacc_bp"), explode(col("ids_a")).as("da"), col("ids_b"))
         .select(col("shared"), col("jacc_bp"), col("da"), explode(col("ids_b")).as("db"))
         .select(least(col("da"), col("db")).as("doc_a"),
@@ -208,14 +214,15 @@ object SimilarityQueries {
       // jaccard exactly 1; the original always emitted these (a class
       // of cls ≥ 2 gives every prefix token df ≥ 2)
       val intra = classes.filter(col("cls") > 1)
-        .join(nn, Seq("k"))
-        .select(col("n"), explode(col("ids")).as("da"), col("ids"))
+        .select(size(col("hs")).cast("long").as("n"),
+          explode(col("ids")).as("da"), col("ids"))
         .select(col("n"), col("da"), explode(col("ids")).as("db"))
         .filter(col("da") < col("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n").as("shared"), lit(10000L).as("jacc_bp"))
       // mega-class star through the representative (rep = min id)
-      val starIntra = megaStars.join(nn, Seq("k"))
+      val starIntra = megaStars
+        .join(classes.select(col("k"), size(col("hs")).cast("long").as("n")), Seq("k"))
         .select(col("rep").as("doc_a"), col("member").as("doc_b"),
           col("n").as("shared"), lit(10000L).as("jacc_bp"))
       cross.unionByName(intra).unionByName(starIntra)

@@ -2470,16 +2470,18 @@ object TextQueries {
         .select("doc_a", "doc_b").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // --- exact truth at t = tn/td via prefix filtering ---
-      val tok = base.select(col("doc_id"), explode(col("hs")).as("s"))
+      // n = |token set| rides the explode as size(hs) (the simjoin
+      // round-10 carry): the unordered per-doc window COUNT was a
+      // second WindowExec pass over the sorted postings
+      val tok = base.select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = tok.groupBy("s").agg(count(lit(1)).as("df"))
       val wrk = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val ranked = tok.join(dfc, Seq("s"))
-        .select(col("doc_id"), col("s"), col("df"),
-          row_number().over(wrk).as("rk"),
-          count(lit(1)).over(wn).as("n"))
+        .select(col("doc_id"), col("s"), col("df"), col("n"),
+          row_number().over(wrk).as("rk"))
       val pref = ranked
         // prefix length n - ceil(t*n) + 1
         .filter(col("rk") <= col("n") - expr(s"($tn*n + ${td - 1}) div $td") + 1)
