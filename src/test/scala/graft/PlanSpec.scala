@@ -724,6 +724,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("q_simjoin_prefix verifies row-locally: rank window only, pair_overlap present") {
+    // Round-10 restructure pin: the class token-set arrays carry n =
+    // size(hs) and the exact-overlap verification (graft_pair_overlap),
+    // so every window spec in the plan must be the (df, s) prefix RANK
+    // (row_number) — the per-class COUNT window and the posting-level
+    // shared-count aggregate are gone. (The rank window STRING may
+    // print once per cached-plan consumer; counting nodes would pin
+    // the printer, not the plan.)
+    val plan = planString("q_simjoin_prefix")
+    assert(plan.contains("graft_pair_overlap"), plan.take(4000))
+    val specs = "(\\w[\\w()0-9#]*) windowspecdefinition".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("row_number")),
+      s"non-rank window spec in plan: $specs\n${plan.take(4000)}")
+  }
+
+  test("q_dedup_lsh_eval truth stage: rank window only (size(hs) carries the token count)") {
+    val plan = planString("q_dedup_lsh_eval")
+    assert(plan.contains("graft_pair_overlap"), plan.take(4000))
+    val specs = "(\\w[\\w()0-9#]*) windowspecdefinition".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("row_number")),
+      s"non-rank window spec in plan: $specs\n${plan.take(4000)}")
+  }
+
   test("q_max_concurrency: the sweep never funnels a window through one partition") {
     val plan = planString("q_max_concurrency")
     // the occupancy prefix-sum must come from the range-partitioned
