@@ -42,13 +42,35 @@ object Tables {
   val streamScratchDir: String = sys.env.get("GRAFT_STREAM_SCRATCH")
     .orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_stream")
+      // User-scoped: /dev/shm is world-writable+sticky, so a fixed
+      // path would collide (and the builders' recursive deletes would
+      // race) across two users or concurrent runs on one host.
+      if (shm.isDirectory && shm.canWrite)
+        Some(s"/dev/shm/graft_stream_${sys.props.getOrElse("user.name", "anon")}")
       else None
     }
-    .getOrElse(stagingDir)
+    // No tmpfs: stay under a graft-owned subtree of the staging root —
+    // the parity builders recursively delete their scratch roots, so a
+    // bare stagingDir fallback would hand them generic paths like
+    // /tmp/parity that can clobber unrelated data on a shared host.
+    .getOrElse(staging("graft_stream"))
 
   /** A scratch path under [[streamScratchDir]]. */
   def streamScratch(sub: String): String = s"$streamScratchDir/$sub"
+
+  /** [[ensureConf]] plus streaming-scratch conf; call at the top of the
+    * six stream parity builders ONLY. Their checkpoints are
+    * per-invocation scratch (deleted at the top of each builder, never
+    * resumed), so retaining the default 100 batches of offset/commit/
+    * state files only multiplies tiny-file fsyncs per trigger.
+    * Session-scoped like any SQLConf, but flipped only on the builders
+    * that own every checkpoint they touch — a co-hosted durable
+    * streaming query in the same session keeps its recovery window
+    * unless it runs concurrently with a parity build. */
+  def ensureStreamConf(spark: SparkSession): Unit = {
+    ensureConf(spark)
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+  }
 
   /** Idempotent; call at the top of every query builder so semantics do
     * not depend on who created the session. */
@@ -86,13 +108,6 @@ object Tables {
     // With the session pinned to UTC the two flavors are numerically
     // identical, so read both as TIMESTAMP.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    // Streaming checkpoints here are per-invocation scratch (every
-    // parity deletes its tree at the top of its builder and never
-    // resumes), so retaining the default 100 batches of offset/commit/
-    // state files only multiplies tiny-file fsyncs per trigger.
-    // Durable deployments that resume from checkpoints would raise
-    // this; nothing in this engine does.
-    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     graft.functions.VectorExpressions.register(spark)
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomFunctions.register(spark)

@@ -74,6 +74,14 @@ object GraphQueries {
       val contrib = edges.join(outdeg, Seq("src"))
         .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize contrib (which fills the edges cache once,
+      // transitively) and nodes, then release edges: every rank round
+      // reads only contrib + nodes, so holding both edge-sized caches
+      // for the query's lifetime doubles its memory footprint for
+      // nothing (round-11 ADVICE).
+      contrib.count()
+      nodes.count()
+      edges.unpersist(false)
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to Iters) {
         val inbound = contrib

@@ -46,7 +46,7 @@ object StreamQueries {
   val qStreamBatchParity = Q(
     "q_stream_batch_parity",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       val inDir = s"$parityRoot/in"
       val outDir = s"$parityRoot/out"
       val ckDir = s"$parityRoot/ck"
@@ -128,7 +128,7 @@ object StreamQueries {
   val qStreamScd2Parity = Q(
     "q_stream_scd2_parity",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       val inDir = s"$scd2Root/in"
       val ckDir = s"$scd2Root/ck"
       val fs = new Path(scd2Root)
@@ -192,7 +192,7 @@ object StreamQueries {
   val qStreamWatermarkDedup = Q(
     "q_stream_watermark_dedup",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       val inDir = s"$wmRoot/in"
       val outDir = s"$wmRoot/out"
       val ckDir = s"$wmRoot/ck"
@@ -258,7 +258,7 @@ object StreamQueries {
   val qStreamStreamJoin = Q(
     "q_stream_stream_join",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       val fs = new Path(ssjRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(ssjRoot), true)
@@ -394,7 +394,7 @@ object StreamQueries {
   val qStreamSessionParity = Q(
     "q_stream_session_parity",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       import spark.implicits._
       val inDir = s"$sessRoot/in"
       val outDir = s"$sessRoot/out"
@@ -477,7 +477,7 @@ object StreamQueries {
   val qStreamWindowParity = Q(
     "q_stream_window_parity",
     (spark, dir) => {
-      Tables.ensureConf(spark)
+      Tables.ensureStreamConf(spark)
       import spark.implicits._
       val inDir = s"$winRoot/in"
       val outDir = s"$winRoot/out"
