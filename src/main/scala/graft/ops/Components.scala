@@ -62,6 +62,23 @@ object Components {
     * (round 10; the q_semantic_clusters chain-graph path). Ignored
     * when propagation rounds run, since those consume the symmetric
     * closure itself. */
+  /** Star/propagation rounds composed lazily per materialization: each
+    * driver round-trip (checkpoint + action) carries `Fuse` rounds of
+    * work in one job, and convergence detection coarsens to
+    * `Fuse`-round granularity (the overshoot work is harmless — both
+    * star operations and min-label propagation are idempotent on
+    * their fixpoints). MEASURED A LOSS at Fuse=2 (round-11 probe P29,
+    * interleaved same-host A/B at sf0.1): the dedup graphs converge
+    * in 1-3 propagation rounds, so the fused job re-joins the
+    * edge-sized `sym` frame for a sub-round that is usually a no-op —
+    * doubling real join work to save one scheduler trip (interleaved
+    * medians: apply 2.90 -> 5.15 s, semantic_clusters 3.52 -> 4.37 s,
+    * components flat).
+    * Production stays at 1; the knob remains for the probe
+    * (-Dgraft.components.fuse=2). */
+  private def Fuse: Int =
+    sys.props.get("graft.components.fuse").map(_.toInt).getOrElse(1)
+
   def connectedComponents(
       edges: DataFrame,
       escalateAfter: Int = EscalateAfterRounds,
@@ -87,24 +104,30 @@ object Components {
     var labels = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
       .select(col("u").as("vtx"), least(col("u"), col("nmin")).as("comp"))
       .localCheckpoint(eager = false) // round 1's count materializes
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < escalateAfter) {
+    // one propagation round: (vtx, comp) -> (vtx, comp', chg)
+    def propagate(lab: DataFrame): DataFrame = {
       val fromNeighbors = sym
-        .join(labels.withColumnRenamed("vtx", "u"), Seq("u"))
+        .join(lab.withColumnRenamed("vtx", "u"), Seq("u"))
         .groupBy(col("v").as("vtx")).agg(min(col("comp")).as("ncomp"))
-      // LAZY checkpoint: the convergence count is the materializing
-      // action, so each round costs ONE job (the former eager
-      // checkpoint + count pair was two; on a 30-round run the driver
-      // round-trip latency of the extra jobs dominated small graphs)
-      val next = labels.join(fromNeighbors, Seq("vtx"), "left")
+      lab.join(fromNeighbors, Seq("vtx"), "left")
         .select(col("vtx"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint(eager = false)
+    }
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < escalateAfter) {
+      // `Fuse` rounds composed lazily, ONE lazy checkpoint + ONE action
+      // (the convergence count) per driver round-trip — see the Fuse
+      // scaladoc. Converged ⇔ the LAST sub-round was a fixpoint (its
+      // chg column is what survives the composition).
+      val k = math.min(Fuse, escalateAfter - rounds)
+      var nxt = propagate(labels)
+      for (_ <- 2 to k) nxt = propagate(nxt.select(col("vtx"), col("comp")))
+      val next = nxt.localCheckpoint(eager = false)
       converged = next.filter(col("chg")).count() == 0L
       labels = next.select(col("vtx"), col("comp"))
-      rounds += 1
+      rounds += k
     }
     if (converged) {
       sym.unpersist(false)
@@ -142,21 +165,19 @@ object Components {
     }
     var prevSig = signature(cur) // materializes cur's checkpoint
     afterFirstSig()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxStarRounds) {
-      // Both star operations compute "min over my neighborhood" and
-      // re-attach rows to it — expressed as a partition WINDOW min
-      // (one shuffle+sort per operation) rather than the groupBy +
-      // join-back form (aggregate shuffle + two join shuffles per
-      // operation): identical rows, half the stages per round, and
-      // round count × stage latency is exactly what dominates small
-      // frontiers (round-6 measurement).
+    // One large-star∘small-star round, lazy. Both star operations
+    // compute "min over my neighborhood" and re-attach rows to it —
+    // expressed as a partition WINDOW min (one shuffle+sort per
+    // operation) rather than the groupBy + join-back form (aggregate
+    // shuffle + two join shuffles per operation): identical rows, half
+    // the stages per round, and round count × stage latency is exactly
+    // what dominates small frontiers (round-6 measurement).
+    def oneRound(c: DataFrame): DataFrame = {
       val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       // large-star: for every node, attach its strictly-LARGER
       // neighbors to the smallest node it can see (min of closed
       // neighborhood). Halves the distance of far nodes to the root.
-      val lsNbrs = cur.select(explode(array(
+      val lsNbrs = c.select(explode(array(
           struct(col("u").as("u"), col("v").as("v")),
           struct(col("v").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
@@ -168,17 +189,29 @@ object Components {
       // (and itself) to the smallest of them. Flattens local trees
       // into stars.
       val lsW = ls.withColumn("m", min(col("v")).over(wU))
-      val ss = lsW
+      lsW
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(lsW.select(col("u"), col("m").as("v")).distinct())
         .distinct()
-        .localCheckpoint(eager = false) // signature() materializes
+    }
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxStarRounds) {
+      // `Fuse` rounds per materialization (Components.Fuse scaladoc):
+      // the signature gate then compares states Fuse rounds apart, so
+      // detection can land up to one extra fused job late — idempotent
+      // no-op rounds, bounded, and cheaper than the driver round-trips
+      // saved (round-11 P29).
+      val k = math.min(Fuse, maxStarRounds - rounds)
+      var nxt = cur
+      for (_ <- 1 to k) nxt = oneRound(nxt)
+      val ss = nxt.localCheckpoint(eager = false) // signature() materializes
       val sig = signature(ss)
       converged = sig == prevSig && ss.exceptAll(cur).isEmpty
       prevSig = sig
       cur = ss
-      rounds += 1
+      rounds += k
     }
     require(converged,
       s"large-star/small-star did not converge in $rounds rounds")
