@@ -215,7 +215,10 @@ object StreamQueries {
       ev.filter(col("event_id") % 5 === 0)
         .coalesce(1).write.mode("append").parquet(inDir)
 
-      withStatePartitions(spark, 8) {
+      // 4, not 8 (round-11 P28 re-sweep after the tmpfs scratch move —
+      // cheap fsyncs moved the curve: p4 1.58 / p8 1.69 s five-pass
+      // interleaved medians; results partitioning-independent)
+      withStatePartitions(spark, 4) {
         val stream = spark.readStream
           .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, cents LONG")
           .option("maxFilesPerTrigger", "1")
@@ -284,7 +287,9 @@ object StreamQueries {
       // partition-count curve than the single-store parities
       // (round-10 same-host A/B: 8->4 partitions 4.17 -> 3.89 s median,
       // min 3.53 -> 2.94, while 2 partitions regressed to 4.38 s;
-      // results partitioning-independent, hash-verified)
+      // results partitioning-independent, hash-verified; round-11 P28
+      // post-tmpfs re-sweep confirms: p1/p2/p4 flat at ~2.98,
+      // p8 3.37 s — 4 stays)
       withStatePartitions(spark, 4) {
         val clicks = spark.readStream
           .schema("c_id LONG, c_ts TIMESTAMP, c_user LONG")
@@ -421,7 +426,9 @@ object StreamQueries {
           lit("sentinel").as("event_type"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
 
-      withStatePartitions(spark, 8) {
+      // 4, not 8 (round-11 P28 post-tmpfs re-sweep: p4 2.45 / p8 2.53 s
+      // five-pass interleaved medians — small but consistent)
+      withStatePartitions(spark, 4) {
         val stream = spark.readStream
           .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1")
@@ -511,7 +518,12 @@ object StreamQueries {
           lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
 
-      withStatePartitions(spark, 8) {
+      // 2, not 8 (round-11 P28 post-tmpfs re-sweep: p2 2.38 / p4 2.55 /
+      // p8 2.68 s five-pass interleaved medians, p2 best in the 3-pass
+      // sweep too). The per-key state here is a tiny running count, so
+      // fewer stores win until key VOLUME (windows × types) outgrows a
+      // task — the cardinality note on withStatePartitions.
+      withStatePartitions(spark, 2) {
         val stream = spark.readStream
           .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1")

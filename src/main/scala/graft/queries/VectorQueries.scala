@@ -973,8 +973,66 @@ object VectorQueries {
     SELECT * FROM l1 UNION ALL SELECT * FROM r2"""),
     "Semi-supervised label propagation (2 synchronous majority rounds, mutual-kNN)")
 
+  /** Recall governance for the ANN variants (VERDICT r10 item 5): the
+    * MinHash family grades its recall via q_dedup_lsh_eval, but IVF
+    * and PQ had no equivalent — an approximate index whose recall is
+    * never measured is not a scale path, it's a hope. recall@10 of the
+    * approximate top-k against the exact brute-force top-k on the SAME
+    * probe set, as one aggregated row (n_exact / n_approx / n_hit /
+    * recall_ppm, integer ppm so the compare is exact).
+    *
+    * Both sides reuse the graded queries' own builders and oracle SQL
+    * verbatim (composed as subqueries), so this row grades exactly
+    * what q_ann_ivf_topk / q_ann_pq_adc ship — any drift in either
+    * chain shows up here as a recall change. Scale: the heavy work is
+    * the two top-k queries themselves; the eval adds only
+    * probe-set-sized joins (≤ 500 queries × 10 ranks).
+    *
+    * Absolute recall on THIS fixture is low by construction: the
+    * synthetic embeddings are near-uniform on the sphere, the
+    * adversarial case for cell-probe ANN (a random query's true
+    * neighbors spread evenly across cells, so 1-probe IVF recall ≈
+    * cell mass, and 2-bit PQ quantization error swamps the tiny cosine
+    * gaps between near-ties). Real corpora cluster; the eval is here
+    * to MEASURE the trade, not to flatter it. */
+  private def annRecallQ(name: String, exact: Q, approx: Q, doc: String): Q = Q(
+    name,
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val ex = exact.build(spark, dir).select(col("q_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ap = approx.build(spark, dir).select(col("q_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = ex.join(ap, Seq("q_id", "neighbor_id"), "left_semi")
+      val nE = ex.agg(count(lit(1)).as("n_exact"))
+      val nA = ap.agg(count(lit(1)).as("n_approx"))
+      val nH = hit.agg(count(lit(1)).as("n_hit"))
+      nE.crossJoin(broadcast(nA)).crossJoin(broadcast(nH))
+        .select(col("n_exact"), col("n_approx"), col("n_hit"),
+          expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000) div n_exact END")
+            .as("recall_ppm"))
+    },
+    Some(s"""WITH ex AS (
+      SELECT q_id, neighbor_id FROM (${exact.oracle.get})),
+    ap AS (SELECT q_id, neighbor_id FROM (${approx.oracle.get})),
+    h AS (SELECT COUNT(*) AS n_hit FROM ex JOIN ap USING (q_id, neighbor_id))
+    SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+      (SELECT COUNT(*) FROM ap) AS n_approx, h.n_hit,
+      CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+           THEN (h.n_hit * 1000000) // (SELECT COUNT(*) FROM ex) END
+        AS recall_ppm
+    FROM h"""),
+    doc)
+
+  val qAnnIvfRecall = annRecallQ("q_ann_ivf_recall", qAnnCosineTopk, qAnnIvfTopk,
+    "IVF recall governance: recall@10 of the bucketed top-k vs the exact baseline")
+
+  val qAnnPqRecall = annRecallQ("q_ann_pq_recall", qAnnCosineTopk, qAnnPqAdc,
+    "PQ recall governance: recall@10 of ADC-scored top-k vs the exact baseline")
+
   val all: Seq[Q] = Seq(qAnnCosineTopk, qAnnLshBuckets, qDedupEmbCosine,
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
     qSemanticDedup, qRrfHybrid, qKnnGraph, qSemanticClusters,
-    qCovarianceMatrix, qRandomProjection, qLabelPropagation)
+    qCovarianceMatrix, qRandomProjection, qLabelPropagation,
+    qAnnIvfRecall, qAnnPqRecall)
 }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   *     collapsed, so the optimum may have moved.
   *
   * Interleaved A/B/A/B per query (medians of 3) — this host steals CPU,
-  * absolute numbers are meaningless across sessions. args: sfDir.
+  * absolute numbers are meaningless across sessions.
+  * args: sfDir [provider|sweep] — default runs both; "sweep" reruns the
+  * partition curve alone with 5 passes (the confirm run).
   */
 object P28 {
   private val StatefulFour = Seq(
@@ -56,6 +58,10 @@ object P28 {
     def median3(name: String): Double =
       (1 to 3).map(_ => runOnce(name)).sorted.apply(1)
 
+    val mode = args.drop(1).headOption.getOrElse("both")
+    val passes = if (mode == "sweep") 5 else 3
+
+    if (mode != "sweep") {
     println("== (a) provider A/B, interleaved, medians of 3 ==")
     StatefulFour.foreach { name =>
       runOnce(name) // warm
@@ -70,13 +76,14 @@ object P28 {
       spark.conf.set(ProviderKey, HdfsProvider)
       println(f"$name%-26s hdfs ${hdfs.sorted.apply(1)}%6.2f s   rocksdb ${rocks.sorted.apply(1)}%6.2f s")
     }
+    }
 
-    println("== (b) state-partition sweep, interleaved, medians of 3 ==")
+    println(s"== (b) state-partition sweep, interleaved, medians of $passes ==")
     val sweeps = Seq(1, 2, 4, 8)
     StatefulFour.foreach { name =>
       runOnce(name) // warm
       val acc = sweeps.map(_ => collection.mutable.ArrayBuffer[Double]())
-      (1 to 3).foreach { _ =>
+      (1 to passes).foreach { _ =>
         sweeps.zipWithIndex.foreach { case (n, i) =>
           sys.props("graft.stream.statePartitions") = n.toString
           acc(i) += runOnce(name)
@@ -84,7 +91,7 @@ object P28 {
       }
       sys.props.remove("graft.stream.statePartitions")
       val cells = sweeps.zip(acc).map { case (n, ts) =>
-        f"p$n%-2d ${ts.sorted.apply(1)}%5.2f" }.mkString("   ")
+        f"p$n%-2d ${ts.sorted.apply(passes / 2)}%5.2f" }.mkString("   ")
       println(f"$name%-26s $cells")
     }
     spark.stop()
