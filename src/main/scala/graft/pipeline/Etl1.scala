@@ -25,7 +25,16 @@ object Etl1 {
   val ElectricPattern = "\\b(ev|bov|electric|hybrid)\\b"
 
   /** Multi-format date parse (etl1:32-53): strip junk, unify
-    * separators, dispatch on shape, else null. */
+    * separators, dispatch on shape, else null.
+    *
+    * Round-11 negative probe (P31, sf1, interleaved): replacing the
+    * guarded to_date branches with substring→cast→make_date integer
+    * arithmetic — semantics-identical for valid post-1582 dates —
+    * measured ~2× SLOWER (11.2 vs 6.3 s stage wall), with or without
+    * hand-CSE'd `cleaned` columns; the extra expressions push the
+    * already-wide stage projection out of whole-stage codegen. The
+    * LEGACY to_date chain here is ~160 ns/row post-regex and is the
+    * measured floor — don't "optimize" it again without an A/B. */
   private def parseDate(c: org.apache.spark.sql.Column) = {
     val cleaned = regexp_replace(
       trim(regexp_replace(c.cast("string"), "[^\\d/.\\-]", "")),

@@ -108,7 +108,11 @@ object StarQueries {
     // resolution cascade + fact assembly consume the stage lineage
     // ~6x (dfForMatch, dvLookup, manRes, fact, exact, residue) and
     // re-deriving Etl1.stage's window + repairs per consumer measured
-    // 13 s vs ~3 s cached at sf0.1
+    // 13 s vs ~3 s cached at sf0.1. (Round-11 note: a localCheckpoint
+    // swap measured FASTER to materialize — P31, 5.9 vs 8 s at sf1 —
+    // but slower end-to-end: six consumers re-read this frame, and
+    // InMemoryRelation's pruned columnar reads beat row
+    // deserialization across that many scans.)
     val df = Etl2.keyed(Etl1.stage(rawSynth(spark, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dv, dm, dr) = Etl2.dimensions(df)
