@@ -24,8 +24,49 @@ object Tables {
     * semantics. */
   val stagingDir: String = sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp")
 
-  /** A staging path under [[stagingDir]]. */
-  def staging(sub: String): String = s"$stagingDir/$sub"
+  /** Per-process staging namespace (round-11 VERDICT item 6): every
+    * fixed staging path (roundtrip sinks, csv/jsonl fixtures,
+    * DPP/layout tables, the stream-scratch fallback) lives under a
+    * run-scoped subdir, so two concurrent sessions — e.g. an sf0.1 dev
+    * verify while an sf1 DuckDB compare is still queued — can never
+    * overwrite each other's staged files mid-oracle (round 11 saw two
+    * sf1 false reds from exactly that race). The oracle SQL strings
+    * embed the nonce'd path and are dumped by the SAME process that
+    * wrote the files, so a later compare reads this run's bytes no
+    * matter what other runs started since. GRAFT_STAGING_NS pins the
+    * namespace externally (e.g. to share staged fixtures across a
+    * driver's own sequential steps, or on a cluster where the pid of
+    * one JVM means nothing). */
+  val stagingNs: String =
+    sys.env.getOrElse("GRAFT_STAGING_NS", s"run_${ProcessHandle.current().pid()}")
+
+  /** A staging path under [[stagingDir]], namespaced by [[stagingNs]]. */
+  def staging(sub: String): String = {
+    sweepOnce
+    s"$stagingDir/graft_staging/$stagingNs/$sub"
+  }
+
+  /** Best-effort GC of dead runs' staging trees, once per JVM: a
+    * `run_<pid>` dir whose pid is gone AND whose tree is ≥ 3 h old is
+    * deleted (both conditions — a just-exited Verify's files must stay
+    * readable for its still-queued DuckDB compare). Pinned
+    * (GRAFT_STAGING_NS) namespaces never match the run_ pattern and
+    * are never swept. Failures are swallowed: GC is a courtesy, not a
+    * correctness dependency. */
+  private lazy val sweepOnce: Unit = try {
+    val root = new java.io.File(s"$stagingDir/graft_staging")
+    val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.getName.startsWith("run_") && d.getName != stagingNs)
+      .foreach { d =>
+        val dead = d.getName.stripPrefix("run_").toLongOption
+          .forall(p => ProcessHandle.of(p).isEmpty)
+        if (dead && d.lastModified() < cutoff) {
+          import scala.reflect.io.Directory
+          new Directory(d).deleteRecursively()
+        }
+      }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Scratch root for PER-INVOCATION streaming state: micro-batch input
     * fixtures, checkpoint/offset/commit logs, state-store deltas, and

@@ -48,6 +48,27 @@ object Components {
     * input — fail loudly rather than ship wrong labels. */
   val MaxStarRounds = 40
 
+  /** Star/propagation rounds composed lazily per materialization: each
+    * driver round-trip (checkpoint + action) carries `Fuse` rounds of
+    * work in one job, and convergence detection coarsens to
+    * `Fuse`-round granularity (the overshoot work is harmless — both
+    * star operations and min-label propagation are idempotent on
+    * their fixpoints). MEASURED A LOSS at Fuse=2 (round-11 probe P29,
+    * interleaved same-host A/B at sf0.1): the dedup graphs converge
+    * in 1-3 propagation rounds, so the fused job re-joins the
+    * edge-sized `sym` frame for a sub-round that is usually a no-op —
+    * doubling real join work to save one scheduler trip (interleaved
+    * medians: apply 2.90 -> 5.15 s, semantic_clusters 3.52 -> 4.37 s,
+    * components flat).
+    * Production stays at 1; the knob remains for the probe
+    * (-Dgraft.components.fuse=2). Clamped to ≥ 1: a zero or negative
+    * override would make every phase run zero rounds per
+    * materialization, trivially "converge", and silently return
+    * unconverged labels. */
+  private def Fuse: Int =
+    sys.props.get("graft.components.fuse").map(_.toInt).map(math.max(1, _))
+      .getOrElse(1)
+
   /** Components of the undirected graph `edges` ("u","v" long columns,
     * self-loop-free). Returns one row per vertex that appears in any
     * edge: (vtx, comp) with comp = min vertex id of the component.
@@ -62,23 +83,6 @@ object Components {
     * (round 10; the q_semantic_clusters chain-graph path). Ignored
     * when propagation rounds run, since those consume the symmetric
     * closure itself. */
-  /** Star/propagation rounds composed lazily per materialization: each
-    * driver round-trip (checkpoint + action) carries `Fuse` rounds of
-    * work in one job, and convergence detection coarsens to
-    * `Fuse`-round granularity (the overshoot work is harmless — both
-    * star operations and min-label propagation are idempotent on
-    * their fixpoints). MEASURED A LOSS at Fuse=2 (round-11 probe P29,
-    * interleaved same-host A/B at sf0.1): the dedup graphs converge
-    * in 1-3 propagation rounds, so the fused job re-joins the
-    * edge-sized `sym` frame for a sub-round that is usually a no-op —
-    * doubling real join work to save one scheduler trip (interleaved
-    * medians: apply 2.90 -> 5.15 s, semantic_clusters 3.52 -> 4.37 s,
-    * components flat).
-    * Production stays at 1; the knob remains for the probe
-    * (-Dgraft.components.fuse=2). */
-  private def Fuse: Int =
-    sys.props.get("graft.components.fuse").map(_.toInt).getOrElse(1)
-
   def connectedComponents(
       edges: DataFrame,
       escalateAfter: Int = EscalateAfterRounds,

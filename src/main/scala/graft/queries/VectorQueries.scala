@@ -1000,14 +1000,20 @@ object VectorQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val ex = exact.build(spark, dir).select(col("q_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("__e", lit(1))
       val ap = approx.build(spark, dir).select(col("q_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hit = ex.join(ap, Seq("q_id", "neighbor_id"), "left_semi")
-      val nE = ex.agg(count(lit(1)).as("n_exact"))
-      val nA = ap.agg(count(lit(1)).as("n_approx"))
-      val nH = hit.agg(count(lit(1)).as("n_hit"))
-      nE.crossJoin(broadcast(nA)).crossJoin(broadcast(nH))
+        .withColumn("__a", lit(1))
+      // (q_id, neighbor_id) is unique per side (top-k rank rows), so a
+      // single full-outer join scans each expensive top-k subtree
+      // exactly once and one aggregate yields all three counts — no
+      // persist (round-11 ADVICE: the previous count+count+semi-join
+      // form cached both sides and never unpersisted them, leaking two
+      // top-k result frames for the session's lifetime).
+      ex.join(ap, Seq("q_id", "neighbor_id"), "full_outer")
+        .agg(count(col("__e")).as("n_exact"),
+          count(col("__a")).as("n_approx"),
+          count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+            .as("n_hit"))
         .select(col("n_exact"), col("n_approx"), col("n_hit"),
           expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000) div n_exact END")
             .as("recall_ppm"))

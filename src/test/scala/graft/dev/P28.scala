@@ -80,20 +80,25 @@ object P28 {
 
     println(s"== (b) state-partition sweep, interleaved, medians of $passes ==")
     val sweeps = Seq(1, 2, 4, 8)
-    StatefulFour.foreach { name =>
-      runOnce(name) // warm
-      val acc = sweeps.map(_ => collection.mutable.ArrayBuffer[Double]())
-      (1 to passes).foreach { _ =>
-        sweeps.zipWithIndex.foreach { case (n, i) =>
-          sys.props("graft.stream.statePartitions") = n.toString
-          acc(i) += runOnce(name)
+    // finally-guarded: a failure mid-sweep must not leave the override
+    // set — withStatePartitions reads it in the PRODUCTION path, so a
+    // leaked prop would silently re-partition every later stream query
+    // in this JVM (round-11 ADVICE).
+    try {
+      StatefulFour.foreach { name =>
+        runOnce(name) // warm
+        val acc = sweeps.map(_ => collection.mutable.ArrayBuffer[Double]())
+        (1 to passes).foreach { _ =>
+          sweeps.zipWithIndex.foreach { case (n, i) =>
+            sys.props("graft.stream.statePartitions") = n.toString
+            acc(i) += runOnce(name)
+          }
         }
+        val cells = sweeps.zip(acc).map { case (n, ts) =>
+          f"p$n%-2d ${ts.sorted.apply(passes / 2)}%5.2f" }.mkString("   ")
+        println(f"$name%-26s $cells")
       }
-      sys.props.remove("graft.stream.statePartitions")
-      val cells = sweeps.zip(acc).map { case (n, ts) =>
-        f"p$n%-2d ${ts.sorted.apply(passes / 2)}%5.2f" }.mkString("   ")
-      println(f"$name%-26s $cells")
-    }
+    } finally sys.props.remove("graft.stream.statePartitions")
     spark.stop()
   }
 }
