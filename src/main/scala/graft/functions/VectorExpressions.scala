@@ -304,6 +304,77 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Lloyd metric VECTOR: m_j = vq·c_j − |c_j|²/2 for every centroid j,
+    * as array<double>. Same arithmetic as [[LloydAssignCentroids]]
+    * (left-assoc integer×double dot in ascending i, halfNorms from the
+    * same ascending loop), so argmax over the output selects exactly
+    * the cell graft_lloyd_assign would. The trained-IVF query side
+    * needs the TOP-N cells per query (multi-probe), not just the
+    * nearest — posexplode over this array + a rank window gives them
+    * with one constant-size kernel call per query row. */
+  case class LloydScoresCentroids(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(LongType, _) if right.foldable &&
+        right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, foldable array<array<double>>)")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_lloyd_scores"
+
+    @transient private lazy val cents: Array[Array[Double]] = {
+      val ad = right.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+    }
+    @transient private lazy val halfNorms: Array[Double] =
+      cents.map { c =>
+        var ss = 0.0; var i = 0
+        while (i < c.length) { ss += c(i) * c(i); i += 1 }
+        ss / 2
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val vq = a.asInstanceOf[ArrayData]
+      val out = new Array[Double](cents.length)
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += vq.getLong(i).toDouble * c(i); i += 1 }
+        out(j) = s - halfNorms(j)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("lloydCents", cents, "double[][]")
+      val hRef = ctx.addReferenceObj("lloydHns", halfNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, _) => {
+        val j = ctx.freshName("j"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val out = ctx.freshName("out")
+        val c = ctx.freshName("c")
+        s"""
+        double[] $out = new double[$cRef.length];
+        for (int $j = 0; $j < $cRef.length; $j++) {
+          double[] $c = $cRef[$j];
+          double $s = 0.0;
+          for (int $i = 0; $i < $c.length; $i++) {
+            $s += ((double) $a.getLong($i)) * $c[$i];
+          }
+          $out[$j] = $s - $hRef[$j];
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** PQ asymmetric-distance table: for query vector vn and foldable
     * per-subspace codebooks (M × k × sub doubles), emit the flat
     * array d[m·k + j] = Σ_i vn[m·sub + i] · c[m][j][i] (left-assoc).
@@ -400,6 +471,7 @@ object VectorExpressions {
     regN("graft_scale_div", 2, es => ArrayScaleDivide(es(0), es(1)))
     regN("graft_quantize", 1, es => QuantizeStats(es(0)))
     regN("graft_lloyd_assign", 2, es => LloydAssignCentroids(es(0), es(1)))
+    regN("graft_lloyd_scores", 2, es => LloydScoresCentroids(es(0), es(1)))
     regN("graft_pq_adc_table", 2, es => PqAdcTableExpr(es(0), es(1)))
   }
 }

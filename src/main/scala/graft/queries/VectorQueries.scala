@@ -295,11 +295,18 @@ object VectorQueries {
     "Int8 embedding quantization: row-local scale + clamp, integer evidence")
 
   /** PQ geometry: M subspaces of Dims/M dims, PqK codewords each
-    * (PqBits = log2 PqK bits per subspace in the packed code). */
-  private val PqM = 4
+    * (PqBits = log2 PqK bits per subspace in the packed code).
+    * Round-12 P33 sweep at sf0.01 (recall@10 vs exact, bits/vector):
+    * (4,8)=13%@12b — the round-11 shipping point — (4,16)=18%@16b,
+    * (8,8)=23%@24b, (8,16)=31%@32b, (8,32)=38%@40b, (16,16)=43%@64b.
+    * Shipping (8,32): 3× the recall at 5 bytes/vector (51× smaller
+    * than the raw 256-byte float32 vector), the best recall-per-bit
+    * of the ≥32-bit configs, and the same M=8 subspace layout that
+    * production PQ (k=256, 8 bytes) uses at real scale. */
+  private[graft] val PqM = 8
   private val PqSub = Dims / PqM
-  private val PqK = 8
-  private val PqBits = 3
+  private[graft] val PqK = 32
+  private[graft] val PqBits = 5
 
   /** One subspace's Lloyd training as DuckDB CTEs (mirrors
     * ops.KMeans seed/assign/update exactly — the same machinery the
@@ -338,13 +345,14 @@ object VectorQueries {
 
   /** Product-quantization encoding — the compression that makes
     * billion-vector ANN serviceable: split each (normalized) vector
-    * into M=4 subspaces of 16 dims, train an independent k=4 Lloyd
-    * codebook per subspace (same integer-exact machinery as
-    * q_kmeans_lloyd, so the oracle mirrors it exactly), and encode
-    * every vector as its M nearest-centroid ids packed into one small
-    * code. Here the code is M·2 bits; production PQ uses k=256 (one
-    * byte per subspace, 64 dims → 4 bytes instead of 256) — the plan
-    * shape is identical, only the literal count grows.
+    * into PqM subspaces of Dims/PqM dims, train an independent
+    * PqK-codeword Lloyd codebook per subspace (same integer-exact
+    * machinery as q_kmeans_lloyd, so the oracle mirrors it exactly),
+    * and encode every vector as its M nearest-centroid ids packed
+    * into one small code. Here the code is M·PqBits = 40 bits;
+    * production PQ uses k=256 (one byte per subspace, 64 dims →
+    * 8 bytes instead of 256) — the plan shape is identical, only the
+    * literal count grows.
     *
     * Scale: per subspace, training is the Lloyd shape (row-local
     * assignment against centroid literals, ONE combinable integer
@@ -369,20 +377,24 @@ object VectorQueries {
       (0 until PqM).foreach { m =>
         cur = graft.ops.KMeans.assign(cur, s"vq_$m", cents(m), s"code_$m")
       }
+      // pq_code is LONG: M·PqBits packed bits (40 at the shipping
+      // (8,32) geometry) no longer fit an int — and the shift
+      // constants themselves must be Long literals (1 << 35 silently
+      // wraps to 8 in 32-bit arithmetic)
       cur.select(col("vec_id") +:
         (0 until PqM).map(m => col(s"code_$m").cast("int").as(s"code_$m")) :+
-        (0 until PqM).map(m => col(s"code_$m") * lit(1 << (PqBits * m)))
-          .reduce(_ + _).cast("int").as("pq_code"): _*)
+        (0 until PqM).map(m => col(s"code_$m") * lit(1L << (PqBits * m)))
+          .reduce(_ + _).cast("long").as("pq_code"): _*)
     },
     Some {
       val codeCols = (0 until PqM)
         .map(m => s"CAST(a2_$m.code AS INTEGER) AS code_$m").mkString(", ")
-      val packed = (0 until PqM).map(m => s"a2_$m.code * ${1 << (PqBits * m)}").mkString(" + ")
+      val packed = (0 until PqM).map(m => s"a2_$m.code * ${1L << (PqBits * m)}").mkString(" + ")
       val joins = (1 until PqM).map(m => s"JOIN a2_$m USING (vec_id)").mkString(" ")
       s"""WITH $sqlNormalizedCte,
     ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")}
     SELECT a2_0.vec_id, $codeCols,
-      CAST($packed AS INTEGER) AS pq_code
+      CAST($packed AS BIGINT) AS pq_code
     FROM a2_0 $joins"""
     },
     "PQ encoding: per-subspace Lloyd codebooks, row-local encode, packed codes")
@@ -390,7 +402,7 @@ object VectorQueries {
   /** PQ asymmetric-distance (ADC) search — the query path that makes
     * the codes useful: each query precomputes ONE M×k lookup table
     * (query-subvector · codeword, exact doubles), then every corpus
-    * vector is scored by M table lookups on its 2-bit codes — the
+    * vector is scored by M table lookups on its PqBits-bit codes — the
     * full vectors never participate in the scan. Top-10 per query by
     * (sim desc, id asc); vectors sharing a code tie exactly and break
     * on id, so the ranking is deterministic in both engines.
@@ -401,54 +413,63 @@ object VectorQueries {
     * broadcast with the query set, and scoring is M integer-indexed
     * branches in codegen. Training + encoding reuse the PQ
     * machinery; the scan cost is O(corpus × M), not O(corpus × Dims). */
+  /** Parameterized ADC top-10 (the q_ann_pq_adc plan at any (M, k)
+    * geometry): shared by the registered query at (PqM, PqK) and the
+    * P33 bits-vs-recall sweep. */
+  private[graft] def pqAdcTopk(spark: SparkSession, dir: String,
+      pm: Int, pk: Int): DataFrame = {
+    val sub = Dims / pm
+    val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+      .select(col("vec_id"), col("vn"),
+        graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+      .select(col("vec_id") +: col("vn") +: (0 until pm).map(m =>
+        slice(col("vq"), m * sub + 1, sub).as(s"vq_$m")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = graft.ops.KMeans.lloydTrainMulti(base,
+      (0 until pm).map(m => s"vq_$m"), "vec_id", pk, sub, 2)
+    var coded = base
+    (0 until pm).foreach { m =>
+      coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
+    }
+    // materialize the codes: encode-once-scan-codes is the PQ
+    // contract, and without the barrier codegen fuses all the
+    // assignment projections (~2k product terms) into the rank
+    // sort's method, which blows the 64 KB limit and runs
+    // interpreted (measured: 2.3-5.4 s → ~1 s at sf0.1)
+    val corpus = coded.select(col("vec_id") +:
+      (0 until pm).map(m => col(s"code_$m")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-query ADC table: d[m·k+j] = q-subvector · codeword j of
+    // subspace m, computed ONCE per query as a single native-
+    // expression array (exact vn doubles, left-assoc i order —
+    // bit-identical to the oracle's t_m CTE and to the unrolled
+    // column form this replaces); scoring is M codegen'd
+    // element_at lookups instead of an M·k-way when-chain
+    val qt = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
+      .select(col("vec_id").as("q_id"),
+        call_function("graft_pq_adc_table", col("vn"),
+          typedLit(cents.map(_.map(_.c.toSeq)))).as("adc"))
+    val sim = (0 until pm).map(m =>
+      element_at(col("adc"), col(s"code_$m") + lit(m * pk + 1)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // narrow to 3 columns BEFORE the window: the rank sort otherwise
+    // inlines all M code + M·k table columns into its generated
+    // sorter, which blows the 64 KB codegen method limit and falls
+    // back to interpreted (measured: 2.6→0.9 s at sf0.1)
+    corpus.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   val qAnnPqAdc = Q(
     "q_ann_pq_adc",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
-        .select(col("vec_id"), col("vn"),
-          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
-        .select(col("vec_id") +: col("vn") +: (0 until PqM).map(m =>
-          slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = graft.ops.KMeans.lloydTrainMulti(base,
-        (0 until PqM).map(m => s"vq_$m"), "vec_id", PqK, PqSub, 2)
-      var coded = base
-      (0 until PqM).foreach { m =>
-        coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
-      }
-      // materialize the codes: encode-once-scan-codes is the PQ
-      // contract, and without the barrier codegen fuses all four
-      // assignment projections (~2k product terms) into the rank
-      // sort's method, which blows the 64 KB limit and runs
-      // interpreted (measured: 2.3-5.4 s → ~1 s at sf0.1)
-      val corpus = coded.select(col("vec_id") +:
-        (0 until PqM).map(m => col(s"code_$m")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // per-query ADC table: d[m·k+j] = q-subvector · codeword j of
-      // subspace m, computed ONCE per query as a single native-
-      // expression array (exact vn doubles, left-assoc i order —
-      // bit-identical to the oracle's t_m CTE and to the unrolled
-      // column form this replaces); scoring is M codegen'd
-      // element_at lookups instead of an M·k-way when-chain
-      val qt = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
-        .select(col("vec_id").as("q_id"),
-          call_function("graft_pq_adc_table", col("vn"),
-            typedLit(cents.map(_.map(_.c.toSeq)))).as("adc"))
-      val sim = (0 until PqM).map(m =>
-        element_at(col("adc"), col(s"code_$m") + lit(m * PqK + 1)))
-        .reduceLeft(_ + _)
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      // narrow to 3 columns BEFORE the window: the rank sort otherwise
-      // inlines all M code + M·k table columns into its generated
-      // sorter, which blows the 64 KB codegen method limit and falls
-      // back to interpreted (measured: 2.6→0.9 s at sf0.1)
-      corpus.join(broadcast(qt), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), sim.as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      pqAdcTopk(spark, dir, PqM, PqK)
     },
     Some {
       def qdot(m: Int): String =
@@ -458,25 +479,39 @@ object VectorQueries {
       val tCtes = (0 until PqM).map(m =>
         s"t_$m AS (SELECT q_id, j, (${qdot(m)}) AS d FROM qs CROSS JOIN c1_$m)")
         .mkString(",\n    ")
-      val simSum = (0 until PqM).map(m => s"t_$m.d").mkString(" + ")
-      val tJoins = (0 until PqM).map { m =>
-        val qcond = if (m == 0) "" else s" AND t_$m.q_id = t_0.q_id"
-        s"JOIN t_$m ON t_$m.j = codes.code_$m$qcond"
-      }.mkString(" ")
+      // Left-deep MATERIALIZED chain, one table-lookup join per step
+      // (round 12): the previous flat 8-way join form let the
+      // optimizer order the t_m lookups as cross products (the only
+      // equality between two t_m's routes through t_0.q_id), which
+      // blew up at M=8 — the sf0.01 oracle never returned. Chaining
+      // s_m = s_{m-1} ⋈ t_m pins both the join ORDER and the addition
+      // order: sim accumulates left-assoc exactly like the Spark
+      // side's reduceLeft.
+      val sCtes = (0 until PqM).map { m =>
+        if (m == 0) {
+          val carry = (1 until PqM).map(x => s"codes.code_$x").mkString(", ")
+          s"""s_0 AS MATERIALIZED (SELECT t_0.q_id, codes.vec_id, $carry, t_0.d AS sim
+      FROM codes JOIN t_0 ON t_0.j = codes.code_0)"""
+        } else {
+          val p = s"s_${m - 1}"
+          val carry = ((m + 1) until PqM).map(x => s"$p.code_$x, ").mkString
+          s"""s_$m AS MATERIALIZED (SELECT $p.q_id, $p.vec_id, $carry$p.sim + t_$m.d AS sim
+      FROM $p JOIN t_$m ON t_$m.j = $p.code_$m AND t_$m.q_id = $p.q_id)"""
+        }
+      }.mkString(",\n    ")
       s"""WITH $sqlNormalizedCte,
     ${(0 until PqM).map(sqlPqSub).mkString(",\n    ")},
     qs AS (SELECT vec_id AS q_id, vn FROM n WHERE vec_id % 50 = 0 AND vec_id < 25000),
     $tCtes,
-    codes AS (SELECT a2_0.vec_id, $codeSel FROM a2_0 $codeJoins),
-    adc AS (SELECT t_0.q_id, codes.vec_id, $simSum AS sim
-      FROM codes $tJoins
-      WHERE codes.vec_id != t_0.q_id)
+    codes AS MATERIALIZED (SELECT a2_0.vec_id, $codeSel FROM a2_0 $codeJoins),
+    $sCtes,
+    adc AS (SELECT q_id, vec_id, sim FROM s_${PqM - 1} WHERE vec_id != q_id)
     SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
       SELECT q_id, vec_id,
         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
       FROM adc) WHERE rank <= 10"""
     },
-    "PQ ADC search: per-query lookup tables over 2-bit codes, top-10")
+    "PQ ADC search: per-query lookup tables over packed PQ codes, top-10")
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     * cluster the embedding space with a TRAINED quantizer (k-means),
@@ -992,9 +1027,11 @@ object VectorQueries {
     * synthetic embeddings are near-uniform on the sphere, the
     * adversarial case for cell-probe ANN (a random query's true
     * neighbors spread evenly across cells, so 1-probe IVF recall ≈
-    * cell mass, and 2-bit PQ quantization error swamps the tiny cosine
-    * gaps between near-ties). Real corpora cluster; the eval is here
-    * to MEASURE the trade, not to flatter it. */
+    * cell mass, and coarse PQ quantization error swamps the tiny
+    * cosine gaps between near-ties). Real corpora cluster; the eval is
+    * here to MEASURE the trade, not to flatter it. The round-12
+    * trained-IVF and (8,32) PQ geometries lift it regardless — see
+    * q_ann_ivf_trained_recall and the P32/P33 sweeps. */
   private def annRecallQ(name: String, exact: Q, approx: Q, doc: String): Q = Q(
     name,
     (spark, dir) => {
@@ -1033,6 +1070,175 @@ object VectorQueries {
   val qAnnIvfRecall = annRecallQ("q_ann_ivf_recall", qAnnCosineTopk, qAnnIvfTopk,
     "IVF recall governance: recall@10 of the bucketed top-k vs the exact baseline")
 
+  /** Trained-IVF geometry: IvfK Lloyd-trained cells (2 training
+    * rounds — the q_kmeans_lloyd machinery), IvfProbe nearest cells
+    * probed per query. Chosen from the round-12 P32 sweep at sf0.01
+    * against the fixed-hyperplane variant's 15% recall@10: at every
+    * iso-candidate budget FINER cells + MORE probes dominate (e.g.
+    * ~1300 candidates buys 57% at k=16/np=4 but 74% at k=32/np=8 and
+    * 78% at k=64/np=16). 64/8 lands at 64% recall for ~np/k ≈ 13% of
+    * the corpus scanned per query — 4.3× the recall of the untrained
+    * bucketer at half the scan of the first trained draft. At corpus
+    * scale k grows (√N is customary) at fixed nprobe, so the scanned
+    * fraction shrinks with N. */
+  private val IvfK = 64
+  private val IvfProbe = 8
+
+  /** Shared chain for the trained-IVF queries: train IvfK cells over
+    * the quantized corpus, assign every vector to its cell (row-local
+    * argmax against centroid literals), rank each query's cells by the
+    * SAME metric (graft_lloyd_scores — argmax equals the assignment by
+    * construction) and keep the IvfProbe best, then score only the
+    * probed cells' members. Returns (q_id, vec_id, cos).
+    *
+    * Scale: training is the Lloyd shape (one combinable integer
+    * shuffle per round, k rows to the driver); the probe set is
+    * fixed-size and broadcast; per-query candidates are the mass of
+    * IvfProbe cells ≈ IvfProbe/IvfK of the corpus here — and in a real
+    * deployment k grows with the corpus (k ≈ √N is customary) at fixed
+    * nprobe, so per-query work SHRINKS relative to N; nothing
+    * corpus-sized ever reaches the driver or a single partition. */
+  private[graft] def ivfTrainedCandidates(spark: SparkSession, dir: String,
+      k: Int = IvfK, nprobe: Int = IvfProbe): DataFrame = {
+    val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+      .select(col("vec_id"), col("vn"),
+        graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+      // read by the seed action, the update pass, the corpus-assign
+      // scan and the query side — persist beats 4 re-normalizations
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = graft.ops.KMeans.lloydTrain(base, "vq", "vec_id", k, Dims, 2)
+    val corpus = graft.ops.KMeans.assign(base, "vq", cents, "cell")
+      .select(col("vec_id"), col("vn"), col("cell"))
+    val centsLit = typedLit(cents.sortBy(_.j).map(_.c.toSeq))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("m").desc, col("cell").asc)
+    val probes = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
+      .select(col("vec_id").as("q_id"), col("vn").as("qn"),
+        posexplode(call_function("graft_lloyd_scores", col("vq"), centsLit))
+          .as(Seq("cell", "m")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qn"), col("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("qn"), col("vn")).as("cos"))
+  }
+
+  /** The trained chain as DuckDB CTEs: generalizes sqlKmeansChain to
+    * IvfK cells and adds the per-query multi-probe CTEs. `asg` is the
+    * corpus cell assignment (the a2 analogue), `cand` the scored
+    * probe-cell members. Metric doubles are derived from exact integer
+    * sums with a fixed left-assoc formula, so cell ranks (and thus the
+    * candidate SET) are bit-identical cross-engine. */
+  private def sqlIvfTrainedCand: String = {
+    val k = IvfK
+    val dotVqC = (1 to Dims).map(i => s"vq[$i]*c[$i]").mkString(" + ")
+    val sums = (1 to Dims).map(i => s"sum(vq[$i])").mkString(", ")
+    s"""$sqlNormalizedCte,
+    q AS (SELECT vec_id,
+      [CAST(round(vn[i]*1000) AS BIGINT) FOR i IN generate_series(1, $Dims)] AS vq
+      FROM n),
+    seeds AS (SELECT vec_id, vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM q QUALIFY j < $k),
+    c0 AS (SELECT j, [CAST(x AS DOUBLE) FOR x IN vq] AS c FROM seeds),
+    c0h AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c0),
+    a1 AS (SELECT vec_id, vq, j AS cluster FROM (
+        SELECT q.vec_id, q.vq, t.j, ($dotVqC) - t.hn AS m
+        FROM q CROSS JOIN c0h t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
+    u AS (SELECT cluster AS j, COUNT(*) AS n, [$sums] AS s FROM a1 GROUP BY cluster),
+    c1 AS (SELECT cl.j,
+        CASE WHEN u.j IS NULL THEN c0x.c
+             ELSE [CAST(s[i] AS DOUBLE) / n FOR i IN generate_series(1, $Dims)]
+        END AS c
+      FROM (SELECT unnest(generate_series(0, ${k - 1})) AS j) cl
+      LEFT JOIN u ON u.j = cl.j
+      JOIN c0 c0x ON c0x.j = cl.j),
+    c1h AS (SELECT j, c, list_sum([x*x FOR x IN c]) / 2 AS hn FROM c1),
+    asg AS (SELECT vec_id, j AS cell FROM (
+        SELECT q.vec_id, t.j, ($dotVqC) - t.hn AS m
+        FROM q CROSS JOIN c1h t)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, j ASC) = 1),
+    qs AS (SELECT vec_id AS q_id, vq FROM q WHERE vec_id % 50 = 0 AND vec_id < 25000),
+    ps AS (SELECT q_id, j AS cell FROM (
+        SELECT qs.q_id, t.j, ($dotVqC) - t.hn AS m
+        FROM qs CROSS JOIN c1h t)
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY m DESC, j ASC) <= $IvfProbe),
+    cand AS (SELECT ps.q_id, asg.vec_id, ${sqlDot("qv.vn", "nv.vn")} AS cos
+      FROM ps JOIN asg USING (cell)
+      JOIN n nv ON nv.vec_id = asg.vec_id
+      JOIN n qv ON qv.vec_id = ps.q_id
+      WHERE asg.vec_id != ps.q_id)"""
+  }
+
+  /** Trained-IVF ANN (round-11 VERDICT item 2): same output shape as
+    * q_ann_cosine_topk / q_ann_ivf_topk; candidates come from the
+    * trained multi-probe chain above. Recall is graded by
+    * q_ann_ivf_trained_recall alongside the candidate-count cost. */
+  val qAnnIvfTrained = Q(
+    "q_ann_ivf_trained",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      ivfTrainedCandidates(spark, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    Some(s"""WITH $sqlIvfTrainedCand
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id FROM (
+      SELECT q_id, vec_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cand) WHERE rank <= 10"""),
+    "Trained IVF ANN: Lloyd-trained cells, nprobe-cell multi-probe top-10")
+
+  /** Recall + cost governance for the trained IVF path: recall@10 vs
+    * the exact baseline PLUS the scanned-candidate count (the price of
+    * the recall — nprobe cells' mass, here ≈ IvfProbe/IvfK of the
+    * corpus per query). One integer row; both sides compose the graded
+    * builders' own chains, so drift in either surfaces here. */
+  val qAnnIvfTrainedRecall = Q(
+    "q_ann_ivf_trained_recall",
+    (spark, dir) => {
+      Tables.ensureConf(spark)
+      val cand = ivfTrainedCandidates(spark, dir)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val ap = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .withColumn("__a", lit(1))
+      val ex = qAnnCosineTopk.build(spark, dir)
+        .select(col("q_id"), col("neighbor_id")).withColumn("__e", lit(1))
+      val counts = ex.join(ap, Seq("q_id", "neighbor_id"), "full_outer")
+        .agg(count(col("__e")).as("n_exact"),
+          count(col("__a")).as("n_approx"),
+          count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+            .as("n_hit"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      counts.crossJoin(broadcast(nc))
+        .select(col("n_exact"), col("n_approx"), col("n_hit"),
+          col("n_candidates"),
+          expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000) div n_exact END")
+            .as("recall_ppm"))
+    },
+    Some(s"""WITH $sqlIvfTrainedCand,
+    ex AS (SELECT q_id, neighbor_id FROM (${qAnnCosineTopk.oracle.get})),
+    ap AS (SELECT q_id, vec_id AS neighbor_id FROM (
+      SELECT q_id, vec_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cand) WHERE rank <= 10),
+    h AS (SELECT COUNT(*) AS n_hit FROM ex JOIN ap USING (q_id, neighbor_id))
+    SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+      (SELECT COUNT(*) FROM ap) AS n_approx, h.n_hit,
+      (SELECT COUNT(*) FROM cand) AS n_candidates,
+      CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+           THEN (h.n_hit * 1000000) // (SELECT COUNT(*) FROM ex) END
+        AS recall_ppm
+    FROM h"""),
+    "Trained-IVF governance: recall@10 vs exact + scanned-candidate cost")
+
   val qAnnPqRecall = annRecallQ("q_ann_pq_recall", qAnnCosineTopk, qAnnPqAdc,
     "PQ recall governance: recall@10 of ADC-scored top-k vs the exact baseline")
 
@@ -1040,5 +1246,5 @@ object VectorQueries {
     qAnnIvfTopk, qKmeansLloyd, qVecQuantize, qAnnPqEncode, qAnnPqAdc,
     qSemanticDedup, qRrfHybrid, qKnnGraph, qSemanticClusters,
     qCovarianceMatrix, qRandomProjection, qLabelPropagation,
-    qAnnIvfRecall, qAnnPqRecall)
+    qAnnIvfRecall, qAnnPqRecall, qAnnIvfTrained, qAnnIvfTrainedRecall)
 }

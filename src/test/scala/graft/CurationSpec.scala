@@ -150,17 +150,21 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q_ann_pq_encode: codes use the full codebook; packed code is consistent") {
+    import graft.queries.VectorQueries.{PqM, PqK, PqBits}
     val out = q("q_ann_pq_encode").cache()
     try {
-      // every subspace should spread vectors over all 8 codewords —
-      // a collapsed codebook means training regressed
-      (0 until 4).foreach { m =>
-        assert(out.select(s"code_$m").distinct().count() === 8L,
+      // every subspace should spread vectors over most of the codebook
+      // (a seeded codebook can leave a few cells empty after one Lloyd
+      // round; a COLLAPSED codebook — a handful of distinct codes —
+      // means training regressed)
+      (0 until PqM).foreach { m =>
+        assert(out.select(s"code_$m").distinct().count() >= PqK / 2,
           s"subspace $m codebook collapsed")
       }
-      val bad = out.filter(col("pq_code") =!=
-        col("code_0") + col("code_1") * 8 + col("code_2") * 64 + col("code_3") * 512)
-      assert(bad.count() === 0L)
+      val packed = (0 until PqM)
+        .map(m => col(s"code_$m") * lit(1L << (PqBits * m)))
+        .reduce(_ + _)
+      assert(out.filter(col("pq_code") =!= packed).count() === 0L)
     } finally { out.unpersist(); () }
   }
 
@@ -172,8 +176,9 @@ class CurationSpec extends SparkSpec {
     val exact = pairs("q_ann_cosine_topk")
     val adc = pairs("q_ann_pq_adc")
     val recall = (adc & exact).size.toDouble / exact.size
-    // top-10 of ~500 ⇒ random recall ≈ 0.02; 3-bit-per-subspace codes
-    // on near-uniform synthetic vectors measure ≈ 0.13
+    // top-10 of ~500 ⇒ random recall ≈ 0.02; the (8,32) geometry on
+    // near-uniform synthetic vectors measures ≈ 0.38 (P33 sweep);
+    // the floor stays loose — it guards against collapse, not drift
     assert(recall > 0.08, f"ADC recall@10 $recall%.3f not above 4x random")
   }
 

@@ -114,6 +114,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_lloyd_scores argmax equals graft_lloyd_assign everywhere") {
+    // the trained-IVF probe ranks cells by the scores array; its best
+    // cell must be exactly the cell the assignment kernel picks, or
+    // probe-1 IVF would diverge from the corpus partition
+    graft.functions.VectorExpressions.register(spark)
+    val vecGen = Gen.listOfN(4, Gen.choose(-50L, 50L)).map(_.toSeq)
+    val centGen = Gen.listOfN(5, Gen.listOfN(4,
+      Gen.choose(-50, 50).map(_.toDouble)).map(_.toSeq)).map(_.toSeq)
+    forAll(Gen.zip(Gen.listOfN(30, vecGen), centGen), 6) { case (vecs, cents) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "vq")
+      val out = df.select(
+        call_function("graft_lloyd_assign", col("vq"), typedLit(cents)).as("a"),
+        call_function("graft_lloyd_scores", col("vq"), typedLit(cents)).as("s"))
+        .collect()
+      out.foreach { r =>
+        val a = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        assert(s.length === cents.length)
+        // ties go to the smallest j in the assign kernel; indexOf on
+        // the max mirrors that
+        assert(s.indexOf(s.max) === a, s"scores $s vs assign $a")
+      }
+    }
+  }
+
   test("Keys.sha is deterministic and order-sensitive") {
     forAll(word, word) { (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
