@@ -40,32 +40,67 @@ object Tables {
   val stagingNs: String =
     sys.env.getOrElse("GRAFT_STAGING_NS", s"run_${ProcessHandle.current().pid()}")
 
-  /** A staging path under [[stagingDir]], namespaced by [[stagingNs]]. */
+  /** A staging path under [[stagingDir]], namespaced by [[stagingNs]].
+    * Touches this run's namespace root (rate-limited) so the dead-run
+    * sweep's age test measures time since LAST USE, not since the
+    * namespace was created — a run longer than the sweep horizon would
+    * otherwise look stale the moment it exits, and a concurrent JVM
+    * could reap its files out from under the still-queued DuckDB
+    * compare. */
   def staging(sub: String): String = {
     sweepOnce
+    val now = System.currentTimeMillis()
+    if (now - lastNsTouch > 10L * 60 * 1000) {
+      lastNsTouch = now
+      nsRoots.foreach { r =>
+        val d = new java.io.File(s"$r/$stagingNs")
+        if (d.isDirectory) { d.setLastModified(now); () }
+      }
+    }
     s"$stagingDir/graft_staging/$stagingNs/$sub"
   }
+  @volatile private var lastNsTouch = 0L
 
-  /** Best-effort GC of dead runs' staging trees, once per JVM: a
+  /** The user-scoped tmpfs stream-scratch root, when /dev/shm exists
+    * and is writable (per-run namespaces live under it). */
+  private def shmStreamRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      Some(s"/dev/shm/graft_stream_${sys.props.getOrElse("user.name", "anon")}")
+    else None
+  }
+
+  /** Roots that hold per-run namespaces and get the dead-run sweep:
+    * the staging tree and (when tmpfs is in play) the user-scoped
+    * stream-scratch tree — the latter lives in RAM, so leaked
+    * namespaces there are strictly worse than leaked /tmp files. */
+  private def nsRoots: Seq[String] =
+    Seq(s"$stagingDir/graft_staging") ++ shmStreamRoot
+
+  /** Best-effort GC of dead runs' namespace trees, once per JVM: a
     * `run_<pid>` dir whose pid is gone AND whose tree is ≥ 3 h old is
     * deleted (both conditions — a just-exited Verify's files must stay
-    * readable for its still-queued DuckDB compare). Pinned
-    * (GRAFT_STAGING_NS) namespaces never match the run_ pattern and
-    * are never swept. Failures are swallowed: GC is a courtesy, not a
-    * correctness dependency. */
+    * readable for its still-queued DuckDB compare; [[staging]] keeps a
+    * live run's mtime fresh). Only names that parse as `run_<digits>`
+    * are candidates: a PINNED (GRAFT_STAGING_NS) namespace is never
+    * swept even if it happens to start with `run_` — an unparseable
+    * pid means "not ours to reap", not "dead". Failures are swallowed:
+    * GC is a courtesy, not a correctness dependency. */
   private lazy val sweepOnce: Unit = try {
-    val root = new java.io.File(s"$stagingDir/graft_staging")
     val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(d => d.getName.startsWith("run_") && d.getName != stagingNs)
-      .foreach { d =>
-        val dead = d.getName.stripPrefix("run_").toLongOption
-          .forall(p => ProcessHandle.of(p).isEmpty)
-        if (dead && d.lastModified() < cutoff) {
-          import scala.reflect.io.Directory
-          new Directory(d).deleteRecursively()
+    nsRoots.map(new java.io.File(_)).foreach { root =>
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.getName.startsWith("run_") && d.getName != stagingNs)
+        .foreach { d =>
+          val dead = d.getName.stripPrefix("run_").toLongOption
+            .exists(p => ProcessHandle.of(p).isEmpty)
+          if (dead && d.lastModified() < cutoff) {
+            import scala.reflect.io.Directory
+            new Directory(d).deleteRecursively()
+            ()
+          }
         }
-      }
+    }
   } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Scratch root for PER-INVOCATION streaming state: micro-batch input
@@ -82,13 +117,15 @@ object Tables {
     * checkpoint), restoring the durable path without code change. */
   val streamScratchDir: String = sys.env.get("GRAFT_STREAM_SCRATCH")
     .orElse {
-      val shm = new java.io.File("/dev/shm")
-      // User-scoped: /dev/shm is world-writable+sticky, so a fixed
-      // path would collide (and the builders' recursive deletes would
-      // race) across two users or concurrent runs on one host.
-      if (shm.isDirectory && shm.canWrite)
-        Some(s"/dev/shm/graft_stream_${sys.props.getOrElse("user.name", "anon")}")
-      else None
+      // User-scoped AND run-namespaced: /dev/shm is world-writable+
+      // sticky, so the user segment separates users, and the stagingNs
+      // segment separates two concurrent runs by the SAME user — each
+      // parity builder recursively deletes its scratch root at the top
+      // of its build, so a shared path would let run B reap run A's
+      // live checkpoints mid-query (the round-11 staging race class,
+      // round-12 review). Dead runs' namespaces are reaped by the same
+      // sweep as the staging tree (they live in RAM).
+      shmStreamRoot.map(r => s"$r/$stagingNs")
     }
     // No tmpfs: stay under a graft-owned subtree of the staging root —
     // the parity builders recursively delete their scratch roots, so a

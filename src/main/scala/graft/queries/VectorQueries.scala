@@ -31,8 +31,11 @@ object VectorQueries {
   /** Embedding-corpus size per data dir, memoized: the adaptive-plane
     * queries need ONE scalar (the count) before the plan is built, and
     * the bench re-builds each query many times per JVM — the fixture
-    * dirs are immutable for a session, so the count job runs once per
-    * (dir) instead of once per pass. */
+    * dirs are immutable for a session (the working contract of every
+    * fixture root here), so the count job runs once per (dir) instead
+    * of once per pass. Regenerating a fixture dir IN PLACE at a
+    * different size requires a fresh JVM, or the memoized plane count
+    * diverges from the oracle's live COUNT(*). */
   private val corpusSizes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def corpusSize(spark: SparkSession, dir: String): Long =
@@ -449,9 +452,16 @@ object VectorQueries {
         graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
       .select(col("vec_id") +: col("vn") +: (0 until pm).map(m =>
         slice(col("vq"), m * sub + 1, sub).as(s"vq_$m")): _*)
+      // persisted for the TRAINING actions only (all executed inside
+      // lloydTrainMulti); unpersisted right after so the builder leaks
+      // no cache — the post-training consumers (encode scan, query
+      // table) re-derive the row-local prep once each. The `corpus`
+      // persist below is different: it is a live codegen BARRIER for
+      // the returned plan and cannot be dropped inside the builder.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = graft.ops.KMeans.lloydTrainMulti(base,
       (0 until pm).map(m => s"vq_$m"), "vec_id", pk, sub, 2)
+    base.unpersist()
     var coded = base
     (0 until pm).foreach { m =>
       coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
@@ -1125,10 +1135,15 @@ object VectorQueries {
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
         graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
-      // read by the seed action, the update pass, the corpus-assign
-      // scan and the query side — persist beats 4 re-normalizations
+      // persisted for the TRAINING actions only (seed collect + one
+      // aggregate per Lloyd round — all executed inside lloydTrain);
+      // unpersisted right after, so the builder leaks no cache into
+      // the session (round-12 review — the annRecallQ leak class).
+      // The two remaining consumers (corpus assign, query probes) each
+      // re-derive the row-local normalize+quantize from the scan once.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = graft.ops.KMeans.lloydTrain(base, "vq", "vec_id", k, Dims, 2)
+    base.unpersist()
     val corpus = graft.ops.KMeans.assign(base, "vq", cents, "cell")
       .select(col("vec_id"), col("vn"), col("cell"))
     val centsLit = typedLit(cents.sortBy(_.j).map(_.c.toSeq))
@@ -1227,19 +1242,24 @@ object VectorQueries {
       val cand = ivfTrainedCandidates(spark, dir)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
-      val ap = cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      // ONE evaluation of the expensive candidate chain (round-12
+      // review: the previous counts ⋈ crossJoin(count) form ran the
+      // assign + probe join + scoring twice): the full_outer join
+      // carries ALL ranked candidate rows, so one aggregate reads off
+      // n_candidates (every __a row), n_approx (rank ≤ 10), n_hit
+      // (rank ≤ 10 with an exact partner) and n_exact together. Both
+      // sides are unique on (q_id, neighbor_id), so counts are exact.
+      val ranked = cand.withColumn("rank", row_number().over(w))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
         .withColumn("__a", lit(1))
       val ex = qAnnCosineTopk.build(spark, dir)
         .select(col("q_id"), col("neighbor_id")).withColumn("__e", lit(1))
-      val counts = ex.join(ap, Seq("q_id", "neighbor_id"), "full_outer")
+      ex.join(ranked, Seq("q_id", "neighbor_id"), "full_outer")
         .agg(count(col("__e")).as("n_exact"),
-          count(col("__a")).as("n_approx"),
-          count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
-            .as("n_hit"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      counts.crossJoin(broadcast(nc))
+          count(when(col("rank") <= 10, 1)).as("n_approx"),
+          count(when(col("rank") <= 10 && col("__e").isNotNull, 1))
+            .as("n_hit"),
+          count(col("__a")).as("n_candidates"))
         .select(col("n_exact"), col("n_approx"), col("n_hit"),
           col("n_candidates"),
           expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000) div n_exact END")

@@ -22,6 +22,8 @@ object P34 {
 
   def main(args: Array[String]): Unit = {
     val outRoot = "/tmp/verify_sf10_dedup"
+    var nFailed = 0
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,6 +53,7 @@ object P34 {
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"$name%-26s $dir%-10s wall $wall%8.2f s  rows $rows%10d")
         } catch { case e: Throwable =>
+          nFailed += 1
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"$name%-26s $dir%-10s FAILED after $wall%.1f s: " +
             e.toString.take(200))
@@ -75,5 +78,7 @@ object P34 {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outRoot/oracle_sql.json"), json)
     spark.stop()
+    // a gate that prints FAILED must not exit 0 (round-12 review)
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -31,6 +31,9 @@ def components(edge_sql):
         union(a, b)
     return {v: find(v) for v in parent}
 
+MODES = ("components", "apply", "clusters")
+if len(sys.argv) != 2 or sys.argv[1] not in MODES:
+    sys.exit(f"usage: uf_diff.py {{{'|'.join(MODES)}}}")
 mode = sys.argv[1]
 
 if mode in ("components", "apply"):
