@@ -38,28 +38,52 @@ object Tables {
     * driver's own sequential steps, or on a cluster where the pid of
     * one JVM means nothing). */
   val stagingNs: String =
-    sys.env.getOrElse("GRAFT_STAGING_NS", s"run_${ProcessHandle.current().pid()}")
+    sys.env.getOrElse("GRAFT_STAGING_NS", {
+      // pid + process START SECOND: pid alone is reusable, so a new run
+      // named run_<reused-pid> would silently inherit a dead run's stale
+      // staged tree (round-12 ADVICE). The start instant disambiguates —
+      // a reused pid gets a fresh namespace, and the sweep can tell a
+      // live owner from a namesake (it re-reads the instant).
+      val h = ProcessHandle.current()
+      val start = h.info().startInstant()
+        .map[String](si => s"_${si.getEpochSecond}").orElse("")
+      s"run_${h.pid()}$start"
+    })
 
-  /** A staging path under [[stagingDir]], namespaced by [[stagingNs]].
-    * Touches this run's namespace root (rate-limited) so the dead-run
-    * sweep's age test measures time since LAST USE, not since the
-    * namespace was created — a run longer than the sweep horizon would
-    * otherwise look stale the moment it exits, and a concurrent JVM
-    * could reap its files out from under the still-queued DuckDB
-    * compare. */
+  /** A staging path under [[stagingDir]], namespaced by [[stagingNs]]. */
   def staging(sub: String): String = {
     sweepOnce
+    touchNs()
+    s"$stagingDir/graft_staging/$stagingNs/$sub"
+  }
+  @volatile private var lastNsTouch = 0L
+  private val heartbeatName = ".graft_heartbeat"
+
+  /** Refresh this run's namespace liveness evidence (rate-limited to
+    * once per 10 min): bumps each existing ns root's mtime AND a
+    * heartbeat file inside it, so the dead-run sweep's age test
+    * measures time since LAST USE, not since first write. Called from
+    * [[ensureConf]] and [[load]] — hooks that actually fire on every
+    * query build for a session's whole life. The former in-[[staging]]
+    * touch was dead code (round-12 ADVICE): every staging() call site
+    * is a top-level val evaluated once at object init, before any
+    * namespace dir exists, so a >3 h run's files could be reaped by a
+    * concurrent JVM's sweep while its DuckDB compare was still queued. */
+  private def touchNs(): Unit = {
     val now = System.currentTimeMillis()
     if (now - lastNsTouch > 10L * 60 * 1000) {
       lastNsTouch = now
       nsRoots.foreach { r =>
         val d = new java.io.File(s"$r/$stagingNs")
-        if (d.isDirectory) { d.setLastModified(now); () }
+        if (d.isDirectory) try {
+          d.setLastModified(now)
+          java.nio.file.Files.writeString(
+            d.toPath.resolve(heartbeatName), now.toString)
+          ()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    s"$stagingDir/graft_staging/$stagingNs/$sub"
   }
-  @volatile private var lastNsTouch = 0L
 
   /** The user-scoped tmpfs stream-scratch root, when /dev/shm exists
     * and is writable (per-run namespaces live under it). */
@@ -78,23 +102,46 @@ object Tables {
     Seq(s"$stagingDir/graft_staging") ++ shmStreamRoot
 
   /** Best-effort GC of dead runs' namespace trees, once per JVM: a
-    * `run_<pid>` dir whose pid is gone AND whose tree is ≥ 3 h old is
-    * deleted (both conditions — a just-exited Verify's files must stay
-    * readable for its still-queued DuckDB compare; [[staging]] keeps a
-    * live run's mtime fresh). Only names that parse as `run_<digits>`
-    * are candidates: a PINNED (GRAFT_STAGING_NS) namespace is never
-    * swept even if it happens to start with `run_` — an unparseable
-    * pid means "not ours to reap", not "dead". Failures are swallowed:
-    * GC is a courtesy, not a correctness dependency. */
+    * dir is deleted only when its OWNER IS PROVABLY DEAD and its tree
+    * is ≥ 3 h past last use — last use = max(dir mtime, heartbeat-file
+    * mtime), which [[touchNs]] keeps fresh while any owner is alive
+    * (both conditions: a just-exited Verify's files must stay readable
+    * for its still-queued DuckDB compare). Ownership evidence, by name
+    * shape (round-12 ADVICE — liveness is no longer inferred from the
+    * pid digits alone):
+    *  - `run_<pid>_<startsec>` (auto format): dead iff the pid is gone
+    *    OR its start second differs — a REUSED pid is a namesake, not
+    *    an owner;
+    *  - bare `run_<pid>` (legacy auto / pinned lookalike): dead iff the
+    *    pid is gone; the heartbeat freshness test still protects a
+    *    LIVE pinned owner whose name happens to parse this way;
+    *  - anything else: pinned, not ours to reap.
+    * Failures are swallowed: GC is a courtesy, not a correctness
+    * dependency. */
   private lazy val sweepOnce: Unit = try {
     val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
     nsRoots.map(new java.io.File(_)).foreach { root =>
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(d => d.getName.startsWith("run_") && d.getName != stagingNs)
         .foreach { d =>
-          val dead = d.getName.stripPrefix("run_").toLongOption
-            .exists(p => ProcessHandle.of(p).isEmpty)
-          if (dead && d.lastModified() < cutoff) {
+          val dead = d.getName.stripPrefix("run_").split('_') match {
+            case Array(p) =>
+              p.toLongOption.exists(pid => ProcessHandle.of(pid).isEmpty)
+            case Array(p, s) =>
+              (p.toLongOption, s.toLongOption) match {
+                case (Some(pid), Some(start)) =>
+                  val h = ProcessHandle.of(pid)
+                  !h.isPresent || h.get().info().startInstant()
+                    .map[java.lang.Boolean](_.getEpochSecond != start)
+                    .orElse(java.lang.Boolean.FALSE)
+                case _ => false
+              }
+            case _ => false
+          }
+          val hb = new java.io.File(d, heartbeatName)
+          val lastUse = math.max(d.lastModified(),
+            if (hb.isFile) hb.lastModified() else 0L)
+          if (dead && lastUse < cutoff) {
             import scala.reflect.io.Directory
             new Directory(d).deleteRecursively()
             ()
@@ -153,6 +200,7 @@ object Tables {
   /** Idempotent; call at the top of every query builder so semantics do
     * not depend on who created the session. */
   def ensureConf(spark: SparkSession): Unit = {
+    touchNs()
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // With ANSI off, Spark keeps the legacy sentinel size(NULL) = -1,
@@ -191,9 +239,11 @@ object Tables {
     graft.functions.BloomFunctions.register(spark)
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    touchNs()
     if (name == "events") loadEvents(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. Read nanos as raw longs (legacy conf) and

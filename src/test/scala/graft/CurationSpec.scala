@@ -153,18 +153,26 @@ class CurationSpec extends SparkSpec {
     import graft.queries.VectorQueries.{PqM, PqK, PqBits}
     val out = q("q_ann_pq_encode").cache()
     try {
-      // every subspace should spread vectors over most of the codebook
-      // (a seeded codebook can leave a few cells empty after one Lloyd
-      // round; a COLLAPSED codebook — a handful of distinct codes —
-      // means training regressed)
+      // every subspace should spread vectors over a wide slice of the
+      // codebook (a seeded k=256 codebook over the 500-vector fixture
+      // leaves many cells thinly used after one Lloyd round; a
+      // COLLAPSED codebook — a handful of distinct codes — means
+      // training regressed). Bound: an eighth of the codebook, well
+      // below healthy (~200 distinct at (8,256) on this fixture) and
+      // far above collapse.
       (0 until PqM).foreach { m =>
-        assert(out.select(s"code_$m").distinct().count() >= PqK / 2,
+        assert(out.select(s"code_$m").distinct().count() >= PqK / 8,
           s"subspace $m codebook collapsed")
       }
-      val packed = (0 until PqM)
+      val half = PqM / 2
+      val packedLo = (0 until half)
         .map(m => col(s"code_$m") * lit(1L << (PqBits * m)))
         .reduce(_ + _)
-      assert(out.filter(col("pq_code") =!= packed).count() === 0L)
+      val packedHi = (half until PqM)
+        .map(m => col(s"code_$m") * lit(1L << (PqBits * (m - half))))
+        .reduce(_ + _)
+      assert(out.filter(col("pq_lo") =!= packedLo).count() === 0L)
+      assert(out.filter(col("pq_hi") =!= packedHi).count() === 0L)
     } finally { out.unpersist(); () }
   }
 
@@ -176,10 +184,31 @@ class CurationSpec extends SparkSpec {
     val exact = pairs("q_ann_cosine_topk")
     val adc = pairs("q_ann_pq_adc")
     val recall = (adc & exact).size.toDouble / exact.size
-    // top-10 of ~500 ⇒ random recall ≈ 0.02; the (8,32) geometry on
-    // near-uniform synthetic vectors measures ≈ 0.38 (P33 sweep);
+    // top-10 of ~500 ⇒ random recall ≈ 0.02; the (8,256) geometry on
+    // near-uniform synthetic vectors measures ≈ 0.8+ (P33 sweep, r13);
     // the floor stays loose — it guards against collapse, not drift
-    assert(recall > 0.08, f"ADC recall@10 $recall%.3f not above 4x random")
+    assert(recall > 0.2, f"ADC recall@10 $recall%.3f far below the (8,256) level")
+  }
+
+  test("q_ann_ivfpq: re-rank budget honored and recall clears both parts' ceilings") {
+    import org.apache.spark.sql.Row
+    val Row(nExact: Long, nApprox: Long, nHit: Long, nReranked: Long,
+      nCodeScanned: Long, recallPpm: Long) =
+      q("q_ann_ivfpq_recall").collect().head
+    val nQueries = q("q_ann_ivfpq_topk").select("q_id").distinct().count()
+    val corpus = Tables.load(spark, dir, "embeddings").count()
+    // the expensive budget: exact re-rank ≤ (N div 8) per query — the
+    // 13%-of-corpus bar the round-12 verdict set
+    assert(nReranked <= nQueries * math.max(32L, corpus / 8L))
+    // code scan covers more than the re-rank (that's the point of PQ)
+    // but stays bounded by the probed-cell mass
+    assert(nCodeScanned >= nReranked)
+    assert(nApprox === nExact)
+    // measured 92% at this fixture (P36); floor guards collapse, and
+    // sits above BOTH composed parts' own ceilings (trained-IVF 64%,
+    // raw PQ-ADC 67%) — the composition must beat its pieces
+    assert(recallPpm > 700000L, s"IVF-PQ recall@10 $recallPpm ppm")
+    assert(nHit * 1000000L / nExact === recallPpm)
   }
 
   test("range-clustered layout skips row groups the scattered layout reads") {

@@ -3,13 +3,13 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Round-12 probe: PQ (M subspaces, k codewords) trade curve —
-  * recall@10 of ADC top-10 vs the exact baseline, with the storage
-  * cost per vector (M·log2(k) bits) alongside. Picks the production
-  * PqM/PqK in VectorQueries with evidence.
+/** Round-13 probe: does deeper Lloyd training lift (8,256) PQ recall
+  * past the 70% gate (VERDICT r12 item 5)? Sweeps training rounds at
+  * the shipping geometry; each extra round costs one more corpus pass
+  * + assignment, and — if shipped — one more CTE block in the oracle.
   * args: sfDir (default sf0.01).
   */
-object P33 {
+object P35 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -27,21 +27,14 @@ object P33 {
     val nExact = ex.count()
     println(s"== exact baseline: $nExact (q,neighbor) rows ==")
 
-    // (M, k): bits/vector = M * log2(k)
-    val configs = Seq((4, 8), (4, 16), (8, 8), (8, 16), (8, 32), (16, 16),
-      (8, 64), (8, 128), (8, 256))
-    configs.foreach { case (pm, pk) =>
+    Seq(2, 3, 4, 6).foreach { iters =>
       val t0 = System.nanoTime()
-      val ap = graft.queries.VectorQueries.pqAdcTopk(spark, dir, pm, pk)
+      val ap = graft.queries.VectorQueries.pqAdcTopk(spark, dir, 8, 256, iters)
         .select(col("q_id"), col("neighbor_id"))
       val hit = ex.join(ap, Seq("q_id", "neighbor_id"), "left_semi").count()
-      // drop this config's codegen-barrier persist (one per build, by
-      // contract) — six configs in one JVM would otherwise stack six
-      // cached corpora
       graft.queries.VectorQueries.releaseAdcBarriers()
       val dt = (System.nanoTime() - t0) / 1e9
-      val bits = pm * (31 - Integer.numberOfLeadingZeros(pk))
-      println(f"M=$pm%-3d k=$pk%-3d bits/vec=$bits%-3d recall@10 ${hit * 100.0 / nExact}%5.1f%%  wall $dt%5.2f s")
+      println(f"iters=$iters%-2d recall@10 ${hit * 100.0 / nExact}%5.1f%%  wall $dt%5.2f s")
     }
     spark.stop()
   }

@@ -3,13 +3,14 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Round-12 probe: PQ (M subspaces, k codewords) trade curve —
-  * recall@10 of ADC top-10 vs the exact baseline, with the storage
-  * cost per vector (M·log2(k) bits) alongside. Picks the production
-  * PqM/PqK in VectorQueries with evidence.
+/** Round-13 probe: IVF-PQ + exact re-rank recall/budget curve
+  * (VERDICT r12 item 1). Sweeps the code-scan dial (nprobe of IvfK=64
+  * cells) at the shipping (8,256) PQ geometry and the fixed
+  * top-(N div 8) exact-re-rank budget, against the exact baseline.
+  * Picks the shipping IvfPqProbe with evidence.
   * args: sfDir (default sf0.01).
   */
-object P33 {
+object P36 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -20,6 +21,7 @@ object P33 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.ensureConf(spark)
 
     val ex = graft.queries.VectorQueries.qAnnCosineTopk.build(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
@@ -27,21 +29,20 @@ object P33 {
     val nExact = ex.count()
     println(s"== exact baseline: $nExact (q,neighbor) rows ==")
 
-    // (M, k): bits/vector = M * log2(k)
-    val configs = Seq((4, 8), (4, 16), (8, 8), (8, 16), (8, 32), (16, 16),
-      (8, 64), (8, 128), (8, 256))
-    configs.foreach { case (pm, pk) =>
+    Seq(8, 16, 24, 32, 48).foreach { np =>
       val t0 = System.nanoTime()
-      val ap = graft.queries.VectorQueries.pqAdcTopk(spark, dir, pm, pk)
-        .select(col("q_id"), col("neighbor_id"))
+      val ranked = graft.queries.VectorQueries.ivfPqAdcRanked(spark, dir, np)
+      val nScan = ranked.count()
+      val rr = graft.queries.VectorQueries.ivfPqReranked(spark, dir, ranked)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      val ap = rr.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
       val hit = ex.join(ap, Seq("q_id", "neighbor_id"), "left_semi").count()
-      // drop this config's codegen-barrier persist (one per build, by
-      // contract) — six configs in one JVM would otherwise stack six
-      // cached corpora
       graft.queries.VectorQueries.releaseAdcBarriers()
       val dt = (System.nanoTime() - t0) / 1e9
-      val bits = pm * (31 - Integer.numberOfLeadingZeros(pk))
-      println(f"M=$pm%-3d k=$pk%-3d bits/vec=$bits%-3d recall@10 ${hit * 100.0 / nExact}%5.1f%%  wall $dt%5.2f s")
+      println(f"np=$np%-3d recall@10 ${hit * 100.0 / nExact}%5.1f%%  code_scanned=$nScan%-7d wall $dt%5.2f s")
     }
     spark.stop()
   }
