@@ -373,6 +373,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_ivfpq_topk: broadcast probes/queries, no cartesian, rank pushed") {
+    val plan = planString("q_ann_ivfpq_topk")
+    // the corpus-side code scan joins BROADCAST probe cells and the
+    // shortlist re-rank joins BROADCAST query vectors — the corpus
+    // must never shuffle for either
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both window cuts (ADC shortlist, final top-10) bound map-side
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q_sample_weighted: per-source top-k bounded map-side by WindowGroupLimit") {
     val plan = planString("q_sample_weighted")
     assert(plan.contains("WindowGroupLimit"), plan)
