@@ -66,6 +66,53 @@ object P38 {
     }
     val perRound = sumS / (rounds - 2)
     println(f"== steady-state ${perRound}%.3f s/round; 30k merges = ${perRound * 30000 / 3600}%.1f h sequential ==")
+
+    // The production path (SCALE.md): BPE-learn operates on the WORD-TYPE
+    // histogram, not the corpus — so ONE driver action (collect the
+    // histogram, capped to top-1M types at real scale) replaces the
+    // per-round shuffle+TakeOrdered, and the 30k-merge loop runs
+    // driver-local. Measure the local loop so the s/merge figure in
+    // SCALE.md is evidence.
+    val hist = vocab0.collect().map(r =>
+      (r.getLong(0), r.getSeq[String](1).toArray))
+    val t0 = System.nanoTime()
+    var wtypes = hist
+    val localRounds = 3000
+    var done = 0
+    var continue = true
+    while (done < localRounds && continue) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      wtypes.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, f, _ + _); i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val (a, b) = best._1
+        wtypes = wtypes.map { case (f, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (f, out.toArray)
+        }
+        done += 1
+      }
+    }
+    val dtLoc = (System.nanoTime() - t0) / 1e9
+    println(f"== driver-local: $done merges in $dtLoc%.2f s over ${hist.length} word types (${dtLoc / math.max(done, 1) * 1000}%.2f ms/merge; 1 action total) ==")
     spark.stop()
   }
 }

@@ -18,8 +18,13 @@ object P39 {
     val dirs = sys.env.getOrElse("P39_DIRS", "/tmp/sf1,/tmp/sf10")
       .split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // P39_PARTS: initial shuffle-partition count A/B — AQE coalesces
+    // DOWN from the initial number but never splits above it, so an
+    // sf10 stage that spills at 32 partitions needs a higher INITIAL
+    // count (the cluster-scale default), not a conf AQE can fix.
+    val parts = sys.env.getOrElse("P39_PARTS", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
