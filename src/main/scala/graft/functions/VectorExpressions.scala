@@ -228,6 +228,65 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Integer-thousandths quantization of a double vector in ONE small
+    * kernel: out[i] = cast(round(v[i+1] * 1000) as bigint) — exactly
+    * the element chain [[graft.ops.KMeans.quantizeUnrolled]] composes
+    * from built-ins, including Spark's `round` semantics (the same
+    * `BigDecimal.valueOf(x).setScale(0, HALF_UP)` call Spark's Round
+    * generates for doubles, with the same NaN/infinity passthrough and
+    * the same non-ANSI double→long truncating cast). Values are
+    * bit-identical BY CONSTRUCTION — PropertySpec pins it.
+    *
+    * Why it exists (round 13): the unrolled form inlines 64
+    * round+cast+element_at trees (~100 bytecodes each) into whatever
+    * whole-stage-codegen method consumes vq; together with an
+    * assignment kernel that pushes the generated processNext past
+    * HotSpot's DontCompileHugeMethods limit (8000 bytecodes), so the
+    * WHOLE stage — including the k·dims assignment loops — ran in the
+    * bytecode interpreter. Measured at sf0.1 (P41): the PQ corpus
+    * encode was 1.5-2.0 s with the unrolled form and the arithmetic
+    * alone is ~30 ms compiled. One compact loop keeps the method a
+    * normal JIT candidate. */
+  case class Quantize1000(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${child.dataType.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_quantize1000"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = roundHalfUpToLong(v.getDouble(i) * 1000.0)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val helper = "graft.functions.VectorExpressions.roundHalfUpToLong"
+        s"""
+        int $n = $a.numElements();
+        long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $helper($a.getDouble($i) * 1000.0);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Lloyd/PQ assignment: argmax_j (vq·c_j − |c_j|²/2), ties to the
     * smallest j. `cents` must be a FOLDABLE array<array<double>>
     * literal (k × dims); it is extracted once on the driver and ships
@@ -263,12 +322,21 @@ object VectorExpressions {
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val vq = a.asInstanceOf[ArrayData]
+      // stage the vector in a primitive buffer ONCE: every element is
+      // otherwise re-read k times through ArrayData (boxed Object[]
+      // when the input is a fresh array(...) projection, not a cached
+      // UnsafeArrayData) — measured as the whole PQ/IVF encode cost at
+      // sf0.1 (round 13 P41: ~45 ns per re-read × k·dims·rows)
+      val dims = if (cents.isEmpty) 0 else cents(0).length
+      val v = new Array[Double](dims)
+      var d = 0
+      while (d < dims) { v(d) = vq.getLong(d).toDouble; d += 1 }
       var best = 0; var bm = 0.0
       var j = 0
       while (j < cents.length) {
         val c = cents(j)
         var s = 0.0; var i = 0
-        while (i < c.length) { s += vq.getLong(i).toDouble * c(i); i += 1 }
+        while (i < c.length) { s += v(i) * c(i); i += 1 }
         s -= halfNorms(j)
         if (j == 0 || s > bm) { bm = s; best = j }
         j += 1
@@ -279,17 +347,23 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cRef = ctx.addReferenceObj("lloydCents", cents, "double[][]")
       val hRef = ctx.addReferenceObj("lloydHns", halfNorms, "double[]")
+      val dims = if (cents.isEmpty) 0 else cents(0).length
       nullSafeCodeGen(ctx, ev, (a, _) => {
         val j = ctx.freshName("j"); val i = ctx.freshName("i")
         val s = ctx.freshName("s"); val bm = ctx.freshName("bm")
         val bj = ctx.freshName("bj"); val c = ctx.freshName("c")
+        val v = ctx.freshName("v"); val d = ctx.freshName("d")
         s"""
+        double[] $v = new double[$dims];
+        for (int $d = 0; $d < $dims; $d++) {
+          $v[$d] = (double) $a.getLong($d);
+        }
         int $bj = 0; double $bm = 0.0;
         for (int $j = 0; $j < $cRef.length; $j++) {
           double[] $c = $cRef[$j];
           double $s = 0.0;
           for (int $i = 0; $i < $c.length; $i++) {
-            $s += ((double) $a.getLong($i)) * $c[$i];
+            $s += $v[$i] * $c[$i];
           }
           $s -= $hRef[$j];
           if ($j == 0 || $s > $bm) { $bm = $s; $bj = $j; }
@@ -336,12 +410,17 @@ object VectorExpressions {
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val vq = a.asInstanceOf[ArrayData]
+      // primitive staging buffer — see LloydAssignCentroids
+      val dims = if (cents.isEmpty) 0 else cents(0).length
+      val v = new Array[Double](dims)
+      var d = 0
+      while (d < dims) { v(d) = vq.getLong(d).toDouble; d += 1 }
       val out = new Array[Double](cents.length)
       var j = 0
       while (j < cents.length) {
         val c = cents(j)
         var s = 0.0; var i = 0
-        while (i < c.length) { s += vq.getLong(i).toDouble * c(i); i += 1 }
+        while (i < c.length) { s += v(i) * c(i); i += 1 }
         out(j) = s - halfNorms(j)
         j += 1
       }
@@ -351,19 +430,135 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cRef = ctx.addReferenceObj("lloydCents", cents, "double[][]")
       val hRef = ctx.addReferenceObj("lloydHns", halfNorms, "double[]")
+      val dims = if (cents.isEmpty) 0 else cents(0).length
       nullSafeCodeGen(ctx, ev, (a, _) => {
         val j = ctx.freshName("j"); val i = ctx.freshName("i")
         val s = ctx.freshName("s"); val out = ctx.freshName("out")
         val c = ctx.freshName("c")
+        val v = ctx.freshName("v"); val d = ctx.freshName("d")
         s"""
+        double[] $v = new double[$dims];
+        for (int $d = 0; $d < $dims; $d++) {
+          $v[$d] = (double) $a.getLong($d);
+        }
         double[] $out = new double[$cRef.length];
         for (int $j = 0; $j < $cRef.length; $j++) {
           double[] $c = $cRef[$j];
           double $s = 0.0;
           for (int $i = 0; $i < $c.length; $i++) {
-            $s += ((double) $a.getLong($i)) * $c[$i];
+            $s += $v[$i] * $c[$i];
           }
           $out[$j] = $s - $hRef[$j];
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** All M PQ subspace assignments in ONE kernel:
+    * out[m] = argmax_j (vq[m·sub .. m·sub+sub-1] · c_mj − |c_mj|²/2),
+    * ties to the smallest j — for foldable per-subspace codebooks
+    * (M × k × sub doubles). Bit-identical to M separate
+    * [[LloydAssignCentroids]] calls over `slice(vq, m·sub+1, sub)`
+    * (same ascending-i left-assoc dot, same halfNorm loop, same
+    * strict-greater selection): the slices never materialize and the
+    * quantized-vector subtree is evaluated ONCE per row instead of
+    * once per subspace. That duplication was measured as the PQ
+    * encode's whole cost at sf0.1 (P41: 2.04 s with 8 chained assigns
+    * vs 0.27 s for the prep alone — each collapsed assign re-inlined
+    * the 64-`round()` quantize tree, and Spark's `round` is a
+    * BigDecimal construction per element even in codegen). */
+  case class LloydAssignMulti(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(LongType, _) if right.foldable &&
+        right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, foldable array<array<array<double>>>)")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_lloyd_assign_multi"
+
+    @transient private lazy val books: Array[Array[Array[Double]]] = {
+      val ms = right.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ms.numElements()) { m =>
+        val ks = ms.getArray(m)
+        Array.tabulate(ks.numElements())(j => ks.getArray(j).toDoubleArray())
+      }
+    }
+    @transient private lazy val halfNorms: Array[Array[Double]] =
+      books.map(_.map { c =>
+        var ss = 0.0; var i = 0
+        while (i < c.length) { ss += c(i) * c(i); i += 1 }
+        ss / 2
+      })
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val vq = a.asInstanceOf[ArrayData]
+      val mN = books.length
+      val sub = books(0)(0).length
+      // primitive staging buffer — see LloydAssignCentroids
+      val v = new Array[Double](mN * sub)
+      var d = 0
+      while (d < v.length) { v(d) = vq.getLong(d).toDouble; d += 1 }
+      val out = new Array[Int](mN)
+      var m = 0
+      while (m < mN) {
+        val ks = books(m); val hs = halfNorms(m)
+        var best = 0; var bm = 0.0
+        var j = 0
+        while (j < ks.length) {
+          val c = ks(j)
+          var s = 0.0; var i = 0
+          while (i < sub) { s += v(m * sub + i) * c(i); i += 1 }
+          s -= hs(j)
+          if (j == 0 || s > bm) { bm = s; best = j }
+          j += 1
+        }
+        out(m) = best
+        m += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("pqAssignBooks", books, "double[][][]")
+      val hRef = ctx.addReferenceObj("pqAssignHns", halfNorms, "double[][]")
+      val dims = books.length * (if (books.isEmpty) 0 else books(0)(0).length)
+      nullSafeCodeGen(ctx, ev, (a, _) => {
+        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val bm = ctx.freshName("bm"); val bj = ctx.freshName("bj")
+        val sub = ctx.freshName("sub"); val out = ctx.freshName("out")
+        val c = ctx.freshName("c"); val ks = ctx.freshName("ks")
+        val hs = ctx.freshName("hs")
+        val v = ctx.freshName("v"); val d = ctx.freshName("d")
+        s"""
+        int $sub = $bRef[0][0].length;
+        double[] $v = new double[$dims];
+        for (int $d = 0; $d < $dims; $d++) {
+          $v[$d] = (double) $a.getLong($d);
+        }
+        int[] $out = new int[$bRef.length];
+        for (int $m = 0; $m < $bRef.length; $m++) {
+          double[][] $ks = $bRef[$m];
+          double[] $hs = $hRef[$m];
+          int $bj = 0; double $bm = 0.0;
+          for (int $j = 0; $j < $ks.length; $j++) {
+            double[] $c = $ks[$j];
+            double $s = 0.0;
+            for (int $i = 0; $i < $sub; $i++) {
+              $s += $v[$m * $sub + $i] * $c[$i];
+            }
+            $s -= $hs[$j];
+            if ($j == 0 || $s > $bm) { $bm = $s; $bj = $j; }
+          }
+          $out[$m] = $bj;
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         """
@@ -403,6 +598,10 @@ object VectorExpressions {
       val vn = a.asInstanceOf[ArrayData]
       val mN = books.length; val kN = books(0).length
       val sub = books(0)(0).length
+      // primitive staging buffer — see LloydAssignCentroids
+      val v = new Array[Double](mN * sub)
+      var d = 0
+      while (d < v.length) { v(d) = vn.getDouble(d); d += 1 }
       val out = new Array[Double](mN * kN)
       var m = 0
       while (m < mN) {
@@ -410,7 +609,7 @@ object VectorExpressions {
         while (j < kN) {
           val c = books(m)(j)
           var s = 0.0; var i = 0
-          while (i < sub) { s += vn.getDouble(m * sub + i) * c(i); i += 1 }
+          while (i < sub) { s += v(m * sub + i) * c(i); i += 1 }
           out(m * kN + j) = s
           j += 1
         }
@@ -421,21 +620,27 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val bRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      val dims = books.length * (if (books.isEmpty) 0 else books(0)(0).length)
       nullSafeCodeGen(ctx, ev, (a, _) => {
         val m = ctx.freshName("m"); val j = ctx.freshName("j")
         val i = ctx.freshName("i"); val s = ctx.freshName("s")
         val kN = ctx.freshName("kN"); val sub = ctx.freshName("sub")
         val out = ctx.freshName("out"); val c = ctx.freshName("c")
+        val v = ctx.freshName("v"); val d = ctx.freshName("d")
         s"""
         int $kN = $bRef[0].length;
         int $sub = $bRef[0][0].length;
+        double[] $v = new double[$dims];
+        for (int $d = 0; $d < $dims; $d++) {
+          $v[$d] = $a.getDouble($d);
+        }
         double[] $out = new double[$bRef.length * $kN];
         for (int $m = 0; $m < $bRef.length; $m++) {
           for (int $j = 0; $j < $kN; $j++) {
             double[] $c = $bRef[$m][$j];
             double $s = 0.0;
             for (int $i = 0; $i < $sub; $i++) {
-              $s += $a.getDouble($m * $sub + $i) * $c[$i];
+              $s += $v[$m * $sub + $i] * $c[$i];
             }
             $out[$m * $kN + $j] = $s;
           }
@@ -472,6 +677,8 @@ object VectorExpressions {
     regN("graft_quantize", 1, es => QuantizeStats(es(0)))
     regN("graft_lloyd_assign", 2, es => LloydAssignCentroids(es(0), es(1)))
     regN("graft_lloyd_scores", 2, es => LloydScoresCentroids(es(0), es(1)))
+    regN("graft_lloyd_assign_multi", 2, es => LloydAssignMulti(es(0), es(1)))
+    regN("graft_quantize1000", 1, es => Quantize1000(es(0)))
     regN("graft_pq_adc_table", 2, es => PqAdcTableExpr(es(0), es(1)))
   }
 }

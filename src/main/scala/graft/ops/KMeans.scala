@@ -34,6 +34,15 @@ object KMeans {
     array((1 to dims).map(i =>
       round(element_at(v, i) * scale).cast("long")): _*)
 
+  /** The native form of [[quantizeUnrolled]] at scale 1000 over the
+    * whole vector (graft_quantize1000): bit-identical values
+    * (PropertySpec pins it), but one compact generated loop instead of
+    * 64 inlined round+cast trees — the unrolled form pushed any stage
+    * that also carries an assignment kernel past HotSpot's
+    * DontCompileHugeMethods limit, leaving the hot k·dims loops
+    * INTERPRETED (round-13 P41: the whole PQ encode cost). */
+  def quantize1000(v: Column): Column = call_function("graft_quantize1000", v)
+
   /** Centroid j: mean vector (doubles) + precomputed |c|²/2. */
   final case class Centroid(j: Int, c: Array[Double], halfNorm: Double)
 
@@ -70,6 +79,32 @@ object KMeans {
     df.withColumn(out,
       call_function("graft_lloyd_assign", col(vqCol),
         typedLit(sorted.map(_.c.toSeq))))
+  }
+
+  /** All M subspace assignments from the FULL quantized vector in ONE
+    * native kernel call: `outCols(m)` = argmax_j (vq[m·sub ..] · c_mj −
+    * hn_mj), ties to the smallest j. Bit-identical to M chained
+    * [[assign]] calls over `slice(vq, m·sub+1, sub)` — same ascending
+    * left-assoc arithmetic, same selection — but the quantized-vector
+    * subtree is evaluated once per row instead of once per subspace
+    * (round-13 P41: the collapsed per-subspace assigns re-inlined the
+    * 64-`round()` quantize tree into every code column, and Spark's
+    * `round` is a BigDecimal per element even in codegen — the
+    * duplication WAS the PQ encode's cost). A functions.PropertySpec
+    * test pins multi == chained. */
+  def assignMulti(df: DataFrame, vqCol: String, books: Seq[Seq[Centroid]],
+      outCols: Seq[String]): DataFrame = {
+    require(books.length == outCols.length, "one output column per subspace")
+    val sorted = books.map(_.sortBy(_.j))
+    sorted.foreach(b => require(b.map(_.j) == b.indices, "centroid ids must be 0..k-1"))
+    val codes = call_function("graft_lloyd_assign_multi", col(vqCol),
+      typedLit(sorted.map(_.map(_.c.toSeq))))
+    // two-step projection: the kernel lands in its own column first, so
+    // the (cheap) element_at extractors reference it without CollapseProject
+    // duplicating the kernel per output column
+    df.withColumn("__codes", codes)
+      .select(df.columns.map(col).toSeq ++ outCols.zipWithIndex.map {
+        case (o, m) => element_at(col("__codes"), lit(m + 1)).as(o) }: _*)
   }
 
   /** One centroid update: per-cluster integer sums (order-independent)

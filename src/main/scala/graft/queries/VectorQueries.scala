@@ -279,7 +279,7 @@ object VectorQueries {
       Tables.ensureConf(spark)
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"),
-          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+          graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
         // seeds + update + final assignment each act on this lineage
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.KMeans.lloydAssign(e, "vq", "vec_id", 4, Dims, 2, "cluster")
@@ -407,8 +407,8 @@ object VectorQueries {
       Tables.ensureConf(spark)
       val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"),
-          graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
-        .select(col("vec_id") +: (0 until PqM).map(m =>
+          graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
+        .select(col("vec_id") +: col("vq") +: (0 until PqM).map(m =>
           slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
         // one seed action + one update pass serve ALL subspaces
         // (lloydTrainMulti); the persisted lineage is read ~3 times
@@ -416,10 +416,8 @@ object VectorQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vqCols = (0 until PqM).map(m => s"vq_$m")
       val cents = graft.ops.KMeans.lloydTrainMulti(base, vqCols, "vec_id", PqK, PqSub, 2)
-      var cur = base
-      (0 until PqM).foreach { m =>
-        cur = graft.ops.KMeans.assign(cur, s"vq_$m", cents(m), s"code_$m")
-      }
+      val cur = graft.ops.KMeans.assignMulti(base, "vq", cents,
+        (0 until PqM).map(m => s"code_$m"))
       // Packed code is TWO longs (pq_lo = subspaces 0..M/2-1, pq_hi =
       // the rest): the (8,256) geometry is 64 packed bits, which a
       // single SIGNED long cannot hold — code_7 << 56 reaches the sign
@@ -492,8 +490,8 @@ object VectorQueries {
     val sub = Dims / pm
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
-        graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
-      .select(col("vec_id") +: col("vn") +: (0 until pm).map(m =>
+        graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
+      .select(col("vec_id") +: col("vn") +: col("vq") +: (0 until pm).map(m =>
         slice(col("vq"), m * sub + 1, sub).as(s"vq_$m")): _*)
       // persisted for the TRAINING actions only (all executed inside
       // lloydTrainMulti); unpersisted right after so the builder leaks
@@ -505,10 +503,8 @@ object VectorQueries {
     val cents = graft.ops.KMeans.lloydTrainMulti(base,
       (0 until pm).map(m => s"vq_$m"), "vec_id", pk, sub, iters)
     base.unpersist()
-    var coded = base
-    (0 until pm).foreach { m =>
-      coded = graft.ops.KMeans.assign(coded, s"vq_$m", cents(m), s"code_$m")
-    }
+    val coded = graft.ops.KMeans.assignMulti(base, "vq", cents,
+      (0 until pm).map(m => s"code_$m"))
     // materialize the codes: encode-once-scan-codes is the PQ
     // contract, and without the barrier codegen fuses all the
     // assignment projections (~2k product terms) into the rank
@@ -611,7 +607,7 @@ object VectorQueries {
       Tables.ensureConf(spark)
       val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
         .select(col("vec_id"), col("vn"))
-        .withColumn("vq", graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims))
+        .withColumn("vq", graft.ops.KMeans.quantize1000(col("vn")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assigned = graft.ops.KMeans
         .lloydAssign(e, "vq", "vec_id", 4, Dims, 2, "cluster")
@@ -1178,7 +1174,7 @@ object VectorQueries {
       k: Int = IvfK, nprobe: Int = IvfProbe): DataFrame = {
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
-        graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+        graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
       // persisted for the TRAINING actions only (seed collect + one
       // aggregate per Lloyd round — all executed inside lloydTrain);
       // unpersisted right after, so the builder leaks no cache into
@@ -1429,7 +1425,7 @@ object VectorQueries {
     val vqCols = (0 until PqM).map(m => s"vq_$m")
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
-        graft.ops.KMeans.quantizeUnrolled(col("vn"), Dims).as("vq"))
+        graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
       .select(col("vec_id") +: col("vn") +: col("vq") +: (0 until PqM).map(m =>
         slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
       // persisted for the TRAINING actions only (both chains run their
@@ -1443,10 +1439,9 @@ object VectorQueries {
     // corpus index: cell + M codes, materialized once (the same
     // codegen barrier as pqAdcTopk — assignment projections must not
     // fuse into the rank sort) and registered for release
-    var coded = graft.ops.KMeans.assign(base, "vq", cells, "cell")
-    (0 until PqM).foreach { m =>
-      coded = graft.ops.KMeans.assign(coded, s"vq_$m", books(m), s"code_$m")
-    }
+    val coded = graft.ops.KMeans.assignMulti(
+      graft.ops.KMeans.assign(base, "vq", cells, "cell"),
+      "vq", books, (0 until PqM).map(m => s"code_$m"))
     val corpus = coded.select(col("vec_id") +: col("cell") +:
       (0 until PqM).map(m => col(s"code_$m")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -140,6 +140,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_quantize1000 equals the unrolled round+cast chain") {
+    // the native kernel must reproduce cast(round(x*1000) as bigint)
+    // bit-for-bit, including values adjacent to .5 boundaries
+    import graft.ops.KMeans
+    graft.functions.VectorExpressions.register(spark)
+    val edgy = Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1000, 1000).map(t => (t + 0.5) / 1000.0),
+      Gen.choose(-1000, 1000).map(t =>
+        Math.nextDown((t + 0.5) / 1000.0)),
+      Gen.choose(-1000, 1000).map(t =>
+        Math.nextUp((t + 0.5) / 1000.0)))
+    val vecGen = Gen.listOfN(6, edgy).map(_.toSeq)
+    forAll(Gen.listOfN(40, vecGen), 8) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "vn")
+      val out = df.select(
+        KMeans.quantizeUnrolled(col("vn"), 6).as("want"),
+        KMeans.quantize1000(col("vn")).as("got")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+    }
+  }
+
+  test("KMeans.assignMulti equals chained per-subspace assigns") {
+    // the round-13 PQ-encode optimization: one kernel over the full
+    // quantized vector must pick exactly the codes the M chained
+    // assign(slice(vq, m·sub+1, sub)) calls picked, for arbitrary
+    // books (including duplicate centroids → smallest-j ties)
+    import graft.ops.KMeans
+    graft.functions.VectorExpressions.register(spark)
+    val M = 3; val sub = 4; val k = 5
+    val vecGen = Gen.listOfN(M * sub, Gen.choose(-50L, 50L)).map(_.toSeq)
+    val bookGen = Gen.listOfN(M, Gen.listOfN(k, Gen.listOfN(sub,
+      Gen.choose(-5, 5).map(_.toDouble))))
+    forAll(Gen.zip(Gen.listOfN(20, vecGen), bookGen), 6) { case (vecs, books) =>
+      val cents = books.map(_.zipWithIndex.map { case (c, j) =>
+        KMeans.Centroid(j, c.toArray,
+          c.map(x => x * x).foldLeft(0.0)(_ + _) / 2)
+      })
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "vq")
+      var chained = df
+      (0 until M).foreach { m =>
+        chained = KMeans.assign(
+          chained.withColumn(s"vq_$m", slice(col("vq"), m * sub + 1, sub)),
+          s"vq_$m", cents(m), s"want_$m")
+      }
+      val both = KMeans.assignMulti(chained, "vq", cents,
+        (0 until M).map(m => s"got_$m"))
+        .select((0 until M).flatMap(m =>
+          Seq(col(s"want_$m"), col(s"got_$m"))): _*)
+        .collect()
+      both.foreach { r =>
+        (0 until M).foreach { m =>
+          assert(r.getInt(2 * m) === r.getInt(2 * m + 1), s"subspace $m")
+        }
+      }
+    }
+  }
+
   test("Keys.sha is deterministic and order-sensitive") {
     forAll(word, word) { (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")

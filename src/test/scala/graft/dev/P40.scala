@@ -25,6 +25,7 @@ object P40 {
     final case class J(id: Int, var t0: Long = 0L, var t1: Long = 0L,
         var nTasks: Int = 0, var desc: String = "")
     val jobs = mutable.LinkedHashMap[Int, J]()
+    val stages = mutable.LinkedHashMap[Int, String]()
     @volatile var capture = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (capture) {
@@ -36,6 +37,23 @@ object P40 {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (capture) {
         jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
       }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (capture) {
+          val si = e.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) -
+            si.submissionTime.getOrElse(0L)) / 1e3
+          if (wall > 0.3) {
+            val m = si.taskMetrics
+            val line = f"stage ${si.stageId}%3d wall=$wall%6.2f " +
+              f"run=${m.executorRunTime / 1e3}%6.2f " +
+              f"cpu=${m.executorCpuTime / 1e9}%6.2f " +
+              f"deser=${m.executorDeserializeTime / 1e3}%5.2f " +
+              f"gc=${m.jvmGCTime / 1e3}%5.2f " +
+              f"resSer=${m.resultSerializationTime / 1e3}%5.2f " +
+              f"tasks=${si.numTasks}%3d  ${si.name.take(70)}"
+            stages.synchronized { stages(si.stageId) = line }
+          }
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -50,6 +68,7 @@ object P40 {
     names.foreach { name =>
       runFully(name); clearState() // warm
       jobs.synchronized(jobs.clear())
+      stages.synchronized(stages.clear())
       capture = true
       val w0 = System.nanoTime()
       runFully(name)
@@ -68,6 +87,7 @@ object P40 {
         }
       }
       println(f"  [sum of jobs $acct%.2f s; gap to wall = driver/planning/codegen]")
+      stages.synchronized { stages.values.foreach(l => println("  " + l)) }
     }
     spark.stop()
   }
