@@ -212,4 +212,48 @@ object KMeans {
     }
     cents
   }
+
+  /** IVF cells (kCells centroids over the full `vqFull` vector) and M
+    * PQ codebooks (kBooks centroids per `vqCols` subspace) trained
+    * JOINTLY in the fewest driver actions — the IVF-PQ chain's
+    * training used 4 sequential jobs (2 seeds + 2 updates) where 2
+    * suffice (round 13): ONE seed collect serves both (the cell seeds
+    * are exactly the first kCells rows of the kBooks-row id-ordered
+    * prefix, so values match separate seedCentroids calls), and each
+    * round's two update aggregates are independent jobs over the same
+    * cached input, so they run CONCURRENTLY (the optimization guide's
+    * overlap-independent-jobs pattern) — same aggregates, same
+    * integer sums, just overlapped wall clock. Requires
+    * kBooks >= kCells. */
+  def lloydTrainJoint(df: DataFrame, vqFull: String, idCol: String,
+      dims: Int, kCells: Int, vqCols: Seq[String], sub: Int, kBooks: Int,
+      iters: Int): (Seq[Centroid], Seq[Seq[Centroid]]) = {
+    require(kBooks >= kCells,
+      "joint seeding takes the cell seeds from the book-seed prefix")
+    val seeds = seedCentroidsMulti(df, vqFull +: vqCols, idCol, kBooks)
+    var cells = seeds.head.take(kCells)
+    var books = seeds.tail
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var i = 0
+    while (i < iters - 1) {
+      val c0 = cells; val b0 = books
+      val cellsF = Future {
+        updateCentroids(assign(df, vqFull, c0, "__ac"), vqFull, "__ac", dims, c0)
+      }
+      val booksF = Future {
+        var cur = df
+        vqCols.indices.foreach { m =>
+          cur = assign(cur, vqCols(m), b0(m), s"__a$m")
+        }
+        updateCentroidsMulti(cur, vqCols,
+          vqCols.indices.map(m => s"__a$m"), sub, b0)
+      }
+      cells = Await.result(cellsF, Duration.Inf)
+      books = Await.result(booksF, Duration.Inf)
+      i += 1
+    }
+    (cells, books)
+  }
 }

@@ -84,21 +84,30 @@ object VectorQueries {
     * is O(N·500): linear in the corpus, parallel over its partitions.
     * All fixture ids at the driver's gate scales are < 25000, so
     * results there are unchanged. */
+  /** The exact brute-force top-10 over any frame carrying
+    * (vec_id, vn) — shared by q_ann_cosine_topk (fresh normalize
+    * chain) and the recall queries, which pass their already-cached
+    * prep frame so the baseline doesn't re-derive the normalize from
+    * the scan (round 13; same chain, same values either way). */
+  private def exactTopkFrom(vecs: DataFrame): DataFrame = {
+    val e = vecs.select(col("vec_id"), col("vn"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
+      .select(col("vec_id").as("q_id"), col("vn").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotNative(col("qn"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   val qAnnCosineTopk = Q(
     "q_ann_cosine_topk",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val e = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
-        .select(col("vec_id"), col("vn"))
-      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
-        .select(col("vec_id").as("q_id"), col("vn").as("qn"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos", dotNative(col("qn"), col("vn")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      exactTopkFrom(
+        withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn"))
     },
     Some(s"""WITH $sqlNormalizedCte,
     q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 25000),
@@ -412,8 +421,9 @@ object VectorQueries {
           slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
         // one seed action + one update pass serve ALL subspaces
         // (lloydTrainMulti); the persisted lineage is read ~3 times
-        // total instead of ~9
+        // total instead of ~9; registered for release (round 13)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adcBarriers.add(base)
       val vqCols = (0 until PqM).map(m => s"vq_$m")
       val cents = graft.ops.KMeans.lloydTrainMulti(base, vqCols, "vec_id", PqK, PqSub, 2)
       val cur = graft.ops.KMeans.assignMulti(base, "vq", cents,
@@ -493,16 +503,16 @@ object VectorQueries {
         graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
       .select(col("vec_id") +: col("vn") +: col("vq") +: (0 until pm).map(m =>
         slice(col("vq"), m * sub + 1, sub).as(s"vq_$m")): _*)
-      // persisted for the TRAINING actions only (all executed inside
-      // lloydTrainMulti); unpersisted right after so the builder leaks
-      // no cache — the post-training consumers (encode scan, query
-      // table) re-derive the row-local prep once each. The `corpus`
-      // persist below is different: it is a live codegen BARRIER for
-      // the returned plan and cannot be dropped inside the builder.
+      // persisted for the TRAINING actions AND the post-training
+      // consumers (encode scan, query table — each would otherwise
+      // re-derive the row-local prep); registered in adcBarriers like
+      // the corpus barrier below, so sweep callers can release it and
+      // the graded harnesses clearCache between queries (round 13 —
+      // the unpersist-after-training form re-derived prep twice).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adcBarriers.add(base)
     val cents = graft.ops.KMeans.lloydTrainMulti(base,
       (0 until pm).map(m => s"vq_$m"), "vec_id", pk, sub, iters)
-    base.unpersist()
     val coded = graft.ops.KMeans.assignMulti(base, "vq", cents,
       (0 until pm).map(m => s"code_$m"))
     // materialize the codes: encode-once-scan-codes is the PQ
@@ -1171,19 +1181,25 @@ object VectorQueries {
     * nprobe, so per-query work SHRINKS relative to N; nothing
     * corpus-sized ever reaches the driver or a single partition. */
   private[graft] def ivfTrainedCandidates(spark: SparkSession, dir: String,
-      k: Int = IvfK, nprobe: Int = IvfProbe): DataFrame = {
+      k: Int = IvfK, nprobe: Int = IvfProbe): DataFrame =
+    ivfTrainedChain(spark, dir, k, nprobe)._1
+
+  /** [[ivfTrainedCandidates]] plus its persisted prep frame — see
+    * [[ivfPqChain]]. */
+  private def ivfTrainedChain(spark: SparkSession, dir: String,
+      k: Int = IvfK, nprobe: Int = IvfProbe): (DataFrame, DataFrame) = {
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
         graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
-      // persisted for the TRAINING actions only (seed collect + one
-      // aggregate per Lloyd round — all executed inside lloydTrain);
-      // unpersisted right after, so the builder leaks no cache into
-      // the session (round-12 review — the annRecallQ leak class).
-      // The two remaining consumers (corpus assign, query probes) each
-      // re-derive the row-local normalize+quantize from the scan once.
+      // persisted for the TRAINING actions and the two downstream
+      // consumers (corpus assign, query probes), which would otherwise
+      // re-derive the row-local normalize+quantize from the scan;
+      // registered in adcBarriers so sweep callers can release it
+      // (round 13 — the registry pattern replaces the
+      // unpersist-after-training form, same leak guarantee).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adcBarriers.add(base)
     val cents = graft.ops.KMeans.lloydTrain(base, "vq", "vec_id", k, Dims, 2)
-    base.unpersist()
     val corpus = graft.ops.KMeans.assign(base, "vq", cents, "cell")
       .select(col("vec_id"), col("vn"), col("cell"))
     val centsLit = typedLit(cents.sortBy(_.j).map(_.c.toSeq))
@@ -1196,9 +1212,10 @@ object VectorQueries {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qn"), col("cell"))
-    corpus.join(broadcast(probes), Seq("cell"))
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("qn"), col("vn")).as("cos"))
+    (cand, base)
   }
 
   /** The trained chain as DuckDB CTEs: generalizes sqlKmeansChain to
@@ -1335,7 +1352,7 @@ object VectorQueries {
     "q_ann_ivf_trained_recall",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val cand = ivfTrainedCandidates(spark, dir)
+      val (cand, prep) = ivfTrainedChain(spark, dir)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       // ONE evaluation of the expensive candidate chain (round-12
@@ -1348,7 +1365,7 @@ object VectorQueries {
       val ranked = cand.withColumn("rank", row_number().over(w))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
         .withColumn("__a", lit(1))
-      val ex = qAnnCosineTopk.build(spark, dir)
+      val ex = exactTopkFrom(prep)
         .select(col("q_id"), col("neighbor_id")).withColumn("__e", lit(1))
       ex.join(ranked, Seq("q_id", "neighbor_id"), "full_outer")
         .agg(count(col("__e")).as("n_exact"),
@@ -1421,21 +1438,31 @@ object VectorQueries {
     * query by (ADC sim desc, vec_id asc). The caller applies the
     * shortlist cut + exact re-rank. */
   private[graft] def ivfPqAdcRanked(spark: SparkSession, dir: String,
-      nprobe: Int = IvfPqProbe): DataFrame = {
+      nprobe: Int = IvfPqProbe): DataFrame =
+    ivfPqChain(spark, dir, nprobe)._1
+
+  /** [[ivfPqAdcRanked]] plus the persisted prep frame (vec_id, vn, vq,
+    * vq_m…) it trained on, so downstream consumers (exact re-rank)
+    * can reuse the cached normalize+quantize instead of re-deriving it
+    * from the parquet scan (round 13 — same values, one less pass). */
+  private def ivfPqChain(spark: SparkSession, dir: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val vqCols = (0 until PqM).map(m => s"vq_$m")
     val base = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
       .select(col("vec_id"), col("vn"),
         graft.ops.KMeans.quantize1000(col("vn")).as("vq"))
       .select(col("vec_id") +: col("vn") +: col("vq") +: (0 until PqM).map(m =>
         slice(col("vq"), m * PqSub + 1, PqSub).as(s"vq_$m")): _*)
-      // persisted for the TRAINING actions only (both chains run their
-      // actions inside lloydTrain/lloydTrainMulti); unpersisted right
-      // after — the ivfTrainedCandidates pattern
+      // persisted for the TRAINING actions and the downstream
+      // consumers (corpus encode, probe side, re-rank vectors);
+      // registered for release like the corpus barrier (round 13)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = graft.ops.KMeans.lloydTrain(base, "vq", "vec_id", IvfK, Dims, 2)
-    val books = graft.ops.KMeans.lloydTrainMulti(base, vqCols, "vec_id",
-      PqK, PqSub, PqIters)
-    base.unpersist()
+    adcBarriers.add(base)
+    // cells + codebooks trained JOINTLY: one seed collect serves both
+    // and the two update aggregates overlap (2 driver actions instead
+    // of 4; values identical — see lloydTrainJoint)
+    val (cells, books) = graft.ops.KMeans.lloydTrainJoint(base, "vq",
+      "vec_id", Dims, IvfK, vqCols, PqSub, PqK, PqIters)
     // corpus index: cell + M codes, materialized once (the same
     // codegen barrier as pqAdcTopk — assignment projections must not
     // fuse into the rank sort) and registered for release
@@ -1467,20 +1494,25 @@ object VectorQueries {
       .reduceLeft(_ + _)
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    corpus.join(broadcast(probes), Seq("cell"))
+    val ranked = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), sim.as("sim"))
       .withColumn("adc_rk", row_number().over(wA))
       .select(col("q_id"), col("vec_id"), col("adc_rk"))
+    (ranked, base)
   }
 
   /** Exact re-rank of the ADC shortlist: join the top-(N div 8) rows
     * per query back to the full normalized vectors and score true
-    * dots. Returns (q_id, vec_id, cos). */
+    * dots. Returns (q_id, vec_id, cos). `vecsFrom` (when given) is a
+    * frame already carrying (vec_id, vn) — the chain's cached prep —
+    * so the vectors aren't re-derived from the scan; the values are
+    * the same normalize chain either way. */
   private[graft] def ivfPqReranked(spark: SparkSession, dir: String,
-      ranked: DataFrame): DataFrame = {
+      ranked: DataFrame, vecsFrom: Option[DataFrame] = None): DataFrame = {
     val c = rerankBudget(corpusSize(spark, dir))
-    val vecs = withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn")
+    val vecs = vecsFrom.getOrElse(
+        withNormalizedNative(load(spark, dir, "embeddings"), "embedding", "vn"))
       .select(col("vec_id"), col("vn"))
     val qvecs = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000)
       .select(col("vec_id").as("q_id"), col("vn").as("qn"))
@@ -1505,7 +1537,8 @@ object VectorQueries {
       Tables.ensureConf(spark)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
-      ivfPqReranked(spark, dir, ivfPqAdcRanked(spark, dir))
+      val (ranked, prep) = ivfPqChain(spark, dir, IvfPqProbe)
+      ivfPqReranked(spark, dir, ranked, Some(prep))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -1528,14 +1561,14 @@ object VectorQueries {
     "q_ann_ivfpq_recall",
     (spark, dir) => {
       Tables.ensureConf(spark)
-      val ranked = ivfPqAdcRanked(spark, dir)
-      val rr = ivfPqReranked(spark, dir, ranked)
+      val (ranked, prep) = ivfPqChain(spark, dir, IvfPqProbe)
+      val rr = ivfPqReranked(spark, dir, ranked, Some(prep))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       val ap = rr.withColumn("rank", row_number().over(w))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
         .withColumn("__a", lit(1))
-      val ex = qAnnCosineTopk.build(spark, dir)
+      val ex = exactTopkFrom(prep)
         .select(col("q_id"), col("neighbor_id")).withColumn("__e", lit(1))
       val scan = ranked.agg(count(lit(1)).as("n_code_scanned"))
       ex.join(ap, Seq("q_id", "neighbor_id"), "full_outer")
