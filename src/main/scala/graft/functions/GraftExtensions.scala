@@ -33,6 +33,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_quantize"),
       info("graft_quantize"),
       (es: Seq[Expression]) => QuantizeStats(arity("graft_quantize", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_quantize1000"),
+      info("graft_quantize1000"),
+      (es: Seq[Expression]) =>
+        Quantize1000(arity("graft_quantize1000", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_lloyd_assign"),
+      info("graft_lloyd_assign"),
+      (es: Seq[Expression]) => { arity("graft_lloyd_assign", 2, es)
+        LloydAssignCentroids(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_lloyd_scores"),
+      info("graft_lloyd_scores"),
+      (es: Seq[Expression]) => { arity("graft_lloyd_scores", 2, es)
+        LloydScoresCentroids(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_lloyd_assign_multi"),
+      info("graft_lloyd_assign_multi"),
+      (es: Seq[Expression]) => { arity("graft_lloyd_assign_multi", 2, es)
+        LloydAssignMulti(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc_table"),
+      info("graft_pq_adc_table"),
+      (es: Seq[Expression]) => { arity("graft_pq_adc_table", 2, es)
+        PqAdcTableExpr(es(0), es(1)) }))
     def binfo(name: String) =
       new ExpressionInfo(BloomFunctions.getClass.getCanonicalName, name)
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
@@ -58,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tinfo("graft_shingle_hashes"),
       (es: Seq[Expression]) =>
         TextExpressions.ShingleHashes(arity("graft_shingle_hashes", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes_ne"),
+      tinfo("graft_shingle_hashes_ne"),
+      (es: Seq[Expression]) => TextExpressions.ShingleHashesNonEmpty(
+        arity("graft_shingle_hashes_ne", 1, es).head)))
     ext.injectFunction((FunctionIdentifier("graft_word_hashes60"),
       tinfo("graft_word_hashes60"),
       (es: Seq[Expression]) =>

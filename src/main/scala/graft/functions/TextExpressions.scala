@@ -112,7 +112,8 @@ object TextExpressions {
     * `array_distinct(shingles3(words))` then per-shingle
     * `stringHash` (mod P) / `stringHash60` (raw 60 bits):
     * first-occurrence order, whole-doc shingle when < 3 words. */
-  def shingleHashKernel(words: ArrayData, modP: Boolean): ArrayData = {
+  def shingleHashKernel(words: ArrayData, modP: Boolean,
+      dropEmpty: Boolean = false): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = words.numElements()
@@ -129,6 +130,10 @@ object TextExpressions {
       val parts = (0 until n).map(words.getUTF8String)
       seen.add(UTF8String.concatWs(Space, parts: _*))
     }
+    // dropEmpty filters the empty STRING before hashing (the composed
+    // `FILTER s != ''` predicate), never a hash value — a colliding
+    // non-empty shingle is unaffected
+    if (dropEmpty) seen.remove(UTF8String.EMPTY_UTF8)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -194,6 +199,23 @@ object TextExpressions {
     override def prettyName: String = "graft_shingle_hashes"
     override protected def kernelName: String = "shingleHashesModP"
     override protected def kernel(a: ArrayData): ArrayData = shingleHashesModP(a)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** shingle_hashes_ne(words) → distinct-3-gram stringHash values with
+    * the EMPTY shingle dropped before hashing — the exact kernel form
+    * of `explode(array_distinct(shingles3(w))) FILTER s != '' →
+    * stringHash(s)` that q_ngram_novelty composes from built-ins
+    * (round 13: the interpreted `transform` lambda + per-shingle md5
+    * expression chain was the query's dominant stage; the filter is on
+    * the STRING pre-hash, identical to the composed predicate).
+    * PropertySpec pins kernel == composed. */
+  case class ShingleHashesNonEmpty(child: Expression) extends HashSetExpr {
+    override def prettyName: String = "graft_shingle_hashes_ne"
+    override protected def kernelName: String = "shingleHashesModPNonEmpty"
+    override protected def kernel(a: ArrayData): ArrayData =
+      shingleHashesModPNonEmpty(a)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -402,6 +424,8 @@ object TextExpressions {
 
   // static entry points for the generated code (fixed signatures)
   def shingleHashesModP(a: ArrayData): ArrayData = shingleHashKernel(a, modP = true)
+  def shingleHashesModPNonEmpty(a: ArrayData): ArrayData =
+    shingleHashKernel(a, modP = true, dropEmpty = true)
   def wordHashes60(a: ArrayData): ArrayData = wordHashKernel(a, modP = false)
 
   /** One pass each for matches and transpositions; O(l1·window) time,
@@ -577,6 +601,7 @@ object TextExpressions {
     })
     reg1("graft_minhash", MinHashSignature)
     reg1("graft_shingle_hashes", ShingleHashes)
+    reg1("graft_shingle_hashes_ne", ShingleHashesNonEmpty)
     reg1("graft_word_hashes60", WordHashes60)
     reg1("graft_simhash60", SimHash60)
     reg1("graft_nfc", NfcNormalize)

@@ -1851,6 +1851,10 @@ object TextQueries {
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
+        // two consumers (the bigram explode below and the vocab count
+        // v) otherwise re-run the regex tokenize over the corpus; the
+        // persist makes it one pass (round 13 — values unchanged)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bg = d
         .select(col("doc_id"),
           explode(expr("sequence(1, size(w) - 1)")).as("i"), col("w"))
@@ -2346,10 +2350,15 @@ object TextQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val d = load(spark, dir, "documents").repartition(col("doc_id"))
+      // native kernel = distinct shingles, '' dropped pre-hash, then
+      // stringHash — exactly the composed explode(array_distinct(
+      // shingles3)) + filter + stringHash chain this replaces, whose
+      // interpreted transform lambda + per-shingle md5 expression tree
+      // was the query's dominant stage (round 13; PropertySpec pins
+      // kernel == composed)
       val tok = d.select(col("doc_id"),
-        explode(array_distinct(shingles3(words(col("text"))))).as("s0"))
-        .filter(col("s0") =!= "")
-        .select(col("doc_id"), stringHash(col("s0")).as("s"))
+        explode(call_function("graft_shingle_hashes_ne",
+          words(col("text")))).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val first = tok.groupBy("s").agg(min("doc_id").as("first_doc"))
       tok.join(first, Seq("s"))

@@ -285,6 +285,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_shingle_hashes_ne equals composed form with the '' filter") {
+    // the q_ngram_novelty kernel: distinct shingles, empty STRING
+    // dropped pre-hash, then stringHash — including texts that produce
+    // the empty whole-doc shingle (blank text)
+    graft.functions.TextExpressions.register(spark)
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.toDF("text")
+      val viaKernel = df.select(
+        call_function("graft_shingle_hashes_ne",
+          TextOps.words(col("text"))).as("sh"))
+        .as[Seq[Long]].collect()
+      val viaBuiltins = df.select(
+        transform(filter(array_distinct(
+            TextOps.shingles3(TextOps.words(col("text")))), s => s =!= ""),
+          s => TextOps.stringHash(s)).as("sh"))
+        .as[Seq[Long]].collect()
+      assert(viaKernel.toSeq === viaBuiltins.toSeq)
+    }
+  }
+
   test("native graft_minhash equals the composed-built-ins fold") {
     forAll(Gen.listOfN(10, word)) { ws =>
       whenever(ws.nonEmpty) {

@@ -94,7 +94,10 @@ class VectorExprSpec extends SparkSpec {
     // ClassGuard-guarded dedup query fails analysis (ADVICE r8).
     assert(org.apache.spark.sql.GraftExtensionsBridge.injectedNames(ext)
       === Set("graft_dot", "graft_scale_div", "graft_quantize",
-        "graft_minhash", "graft_shingle_hashes", "graft_word_hashes60",
+        "graft_quantize1000", "graft_lloyd_assign", "graft_lloyd_scores",
+        "graft_lloyd_assign_multi", "graft_pq_adc_table",
+        "graft_minhash", "graft_shingle_hashes", "graft_shingle_hashes_ne",
+        "graft_word_hashes60",
         "graft_simhash60", "graft_nfc", "graft_sampled_substrings",
         "graft_jaro_winkler", "graft_pair_overlap", "graft_capped_roster",
         "graft_bloom_agg", "graft_bloom_contains", "graft_bloom_sharded"))
