@@ -195,6 +195,20 @@ object Tables {
   def ensureStreamConf(spark: SparkSession): Unit = {
     ensureConf(spark)
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    // Spark 4.1 generates + verifies a checksum SIBLING for every
+    // checkpoint file (offset/commit log entries, every state-store
+    // delta), each written on its own spawned thread —
+    // ChecksumCheckpointFileManager showed up directly in the round-13
+    // P42 off-CPU stack samples, and the parity scratch dirs carried
+    // 3 bookkeeping files per delta (Spark's `N.delta.crc` plus
+    // Hadoop ChecksumFileSystem's hidden `.crc` of both). Corruption
+    // detection buys nothing for per-invocation tmpfs checkpoints that
+    // are deleted at the top of every builder and never resumed; a
+    // durable production checkpoint on real storage keeps the default
+    // (this conf is scoped to the parity builders, same as
+    // minBatchesToRetain). Probe override: -Dgraft.stream.ckChecksum.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.props.getOrElse("graft.stream.ckChecksum", "false"))
   }
 
   /** Idempotent; call at the top of every query builder so semantics do

@@ -69,6 +69,43 @@ object Components {
     sys.props.get("graft.components.fuse").map(_.toInt).map(math.max(1, _))
       .getOrElse(1)
 
+  /** Round-13 (optimization guide §1/§2): AQE re-plans every exchange
+    * of every round as its own materialized stage — a star round's
+    * explode→window→window→distinct chain became ~6 sequential driver
+    * round-trips (jobs) of 30-150 ms each at bench scale, pure
+    * scheduler latency on frontiers whose shape is identical round
+    * over round (P44 interleaved A/B: q_semantic_clusters -35%,
+    * q_dedup_components -18% with the loop AQE-off). The loop
+    * therefore runs with AQE OFF and `spark.sql.shuffle.partitions`
+    * pinned to the materialized input's own partition count — the
+    * count AQE itself chose when it coalesced the kernel output, so
+    * the dial still tracks input size at any scale instead of a
+    * constant. The INPUT materialization (the expensive pair/kNN
+    * kernel) always runs under the caller's conf, AQE intact: the
+    * flip happens only after the first action has materialized the
+    * checkpointed frontier. Window-min rounds have no joins for AQE
+    * to re-strategize and window skew (a hub key) is untouched by
+    * partition coalescing, so the trade is latency-for-nothing at
+    * every scale. Probe override: -Dgraft.components.loopAqe=true
+    * keeps AQE on inside the loop (the P44 A/B's control arm).
+    * Conf is restored on exit; the RETURNED frame executes under the
+    * caller's conf. */
+  private def withLoopConf[A](df: DataFrame, parts: Int)(body: => A): A = {
+    val spark = df.sparkSession
+    if (sys.props.get("graft.components.loopAqe").contains("true")) return body
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.get(aqeKey)
+    val spPrev = spark.conf.get(spKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey, math.max(1, parts).toString)
+    try body
+    finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(spKey, spPrev)
+    }
+  }
+
   /** Components of the undirected graph `edges` ("u","v" long columns,
     * self-loop-free). Returns one row per vertex that appears in any
     * edge: (vtx, comp) with comp = min vertex id of the component.
@@ -125,6 +162,14 @@ object Components {
       // (the convergence count) per driver round-trip — see the Fuse
       // scaladoc. Converged ⇔ the LAST sub-round was a fixpoint (its
       // chg column is what survives the composition).
+      // NOTE (round 13): the propagation loop deliberately KEEPS AQE —
+      // unlike the window-only star rounds, each propagation round is
+      // a sym⋈labels JOIN, and AQE's runtime broadcast conversion of
+      // the node-sized labels side is worth more than the stage-job
+      // latency it costs (P44 interleaved A/B with rounds 2+ forced
+      // AQE-off: q_dedup_components 4.98 → 5.69 s, q_dedup_apply
+      // 4.24 → 4.88 s — a measured NEGATIVE, recorded here so it is
+      // not retried).
       val k = math.min(Fuse, escalateAfter - rounds)
       var nxt = propagate(labels)
       for (_ <- 2 to k) nxt = propagate(nxt.select(col("vtx"), col("comp")))
@@ -201,21 +246,26 @@ object Components {
     }
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxStarRounds) {
-      // `Fuse` rounds per materialization (Components.Fuse scaladoc):
-      // the signature gate then compares states Fuse rounds apart, so
-      // detection can land up to one extra fused job late — idempotent
-      // no-op rounds, bounded, and cheaper than the driver round-trips
-      // saved (round-11 P29).
-      val k = math.min(Fuse, maxStarRounds - rounds)
-      var nxt = cur
-      for (_ <- 1 to k) nxt = oneRound(nxt)
-      val ss = nxt.localCheckpoint(eager = false) // signature() materializes
-      val sig = signature(ss)
-      converged = sig == prevSig && ss.exceptAll(cur).isEmpty
-      prevSig = sig
-      cur = ss
-      rounds += k
+    // cur0 is checkpoint-materialized by the first signature above, so
+    // its partition count is free metadata and the whole loop runs
+    // under the pinned-conf block (withLoopConf scaladoc).
+    withLoopConf(cur0, cur0.rdd.getNumPartitions) {
+      while (!converged && rounds < maxStarRounds) {
+        // `Fuse` rounds per materialization (Components.Fuse scaladoc):
+        // the signature gate then compares states Fuse rounds apart, so
+        // detection can land up to one extra fused job late — idempotent
+        // no-op rounds, bounded, and cheaper than the driver round-trips
+        // saved (round-11 P29).
+        val k = math.min(Fuse, maxStarRounds - rounds)
+        var nxt = cur
+        for (_ <- 1 to k) nxt = oneRound(nxt)
+        val ss = nxt.localCheckpoint(eager = false) // signature() materializes
+        val sig = signature(ss)
+        converged = sig == prevSig && ss.exceptAll(cur).isEmpty
+        prevSig = sig
+        cur = ss
+        rounds += k
+      }
     }
     require(converged,
       s"large-star/small-star did not converge in $rounds rounds")

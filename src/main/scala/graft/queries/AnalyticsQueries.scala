@@ -928,16 +928,29 @@ object AnalyticsQueries {
     (spark, dir) => {
       Tables.ensureConf(spark)
       val p = load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
-      val baskets = load(spark, dir, "lineitem")
+      // One order-keyed aggregate replaces the old distinct + self-join
+      // on `o` (round 13, guide §2 — shuffle removal): collect_set
+      // dedups brands per order (== the old distinct), and the pair
+      // expansion runs IN-ROW over the sorted basket array instead of
+      // re-exchanging the basket table twice for a shuffle join with
+      // itself. Basket width is bounded by the brand universe (≤ 25),
+      // so the expansion is O(basket²) per row, never corpus².
+      val byOrder = load(spark, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val na = baskets.groupBy("b").agg(count(lit(1)).as("n_i"))
-      val tot = baskets.agg(countDistinct(col("o")).as("n_orders"))
-      val pairs = baskets.select(col("o"), col("b").as("brand_a"))
-        .join(baskets.select(col("o"), col("b").as("brand_b")), Seq("o"))
-        .filter(col("brand_a") < col("brand_b"))
+      val na = byOrder.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_i"))
+      val tot = byOrder.agg(count(lit(1)).as("n_orders"))
+      // pairs (x, y) with x before y in the sorted distinct array ==
+      // the old brand_a < brand_b join output, one row per (order, pair)
+      val pairs = byOrder
+        .select(explode(flatten(transform(col("bs"), (x, i) =>
+          transform(slice(col("bs"), i + lit(2), size(col("bs")) - i - 1),
+            y => struct(x.as("a"), y.as("b"))))))
+          .as("pr"))
+        .select(col("pr.a").as("brand_a"), col("pr.b").as("brand_b"))
         .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 10)
       pairs
