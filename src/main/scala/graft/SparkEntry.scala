@@ -35,9 +35,20 @@ object SparkEntry {
         sum(round(col("o_totalprice") * 100).cast("long")).as("latest_price_cents"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each
+    * builder is wrapped in [[CodegenPolicy]]: applied BEFORE build
+    * (covers builders with eager in-query actions) and AFTER (covers
+    * the caller's terminal action; non-flagged queries reset the
+    * default so nothing leaks between sequential queries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.build).toMap
+    registry.map { q =>
+      q.name -> { (spark: SparkSession, dir: String) =>
+        CodegenPolicy(spark, q.name)
+        val df = q.build(spark, dir)
+        CodegenPolicy(spark, q.name)
+        df
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -209,6 +209,15 @@ object Tables {
     // minBatchesToRetain). Probe override: -Dgraft.stream.ckChecksum.
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
       sys.props.getOrElse("graft.stream.ckChecksum", "false"))
+    // Round-14 measured NEGATIVE, recorded so it is not retried: a
+    // pure-java.nio CheckpointFileManager (no Hadoop local-FS chmod/ls
+    // process forks, no checksum machinery) A/B'd flat-to-slower over
+    // all six parities (P48 interleaved ABBA ×12 runs/side at sf0.1:
+    // batch 1.81 vs 1.77, scd2 2.36 vs 2.36, wmdedup 1.40 vs 1.41,
+    // ssjoin 1.98 vs 1.87, session 2.30 vs 2.13, window 2.07 vs 1.86 —
+    // nio first). The Shell forks P47 sampled come from the parquet
+    // fixture/output writes' committer path, not the checkpoint
+    // manager; the checkpoint files were already cheap on tmpfs.
   }
 
   /** Idempotent; call at the top of every query builder so semantics do

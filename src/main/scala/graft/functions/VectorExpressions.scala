@@ -246,7 +246,16 @@ object VectorExpressions {
     * bytecode interpreter. Measured at sf0.1 (P41): the PQ corpus
     * encode was 1.5-2.0 s with the unrolled form and the arithmetic
     * alone is ~30 ms compiled. One compact loop keeps the method a
-    * normal JIT candidate. */
+    * normal JIT candidate.
+    *
+    * PRECONDITION (same as QuantizeStats, round-14 ADVICE): array
+    * elements must be NON-NULL — slots are read raw via getDouble, so
+    * a null element quantizes as 0 rather than null-propagating like
+    * the composed round(element_at(...)) chain. containsNull=true
+    * SCHEMAS are still accepted (parquet-loaded arrays carry that flag
+    * even when the data has no nulls); it is null VALUES that are out
+    * of contract. Every caller feeds fixture-derived vectors built
+    * from non-null doubles. */
   case class Quantize1000(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -476,8 +485,20 @@ object VectorExpressions {
   case class LloydAssignMulti(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      // full 3-level shape match (round-14 ADVICE): a wrongly nested
+      // literal (array<array<double>>) or an empty outer array used to
+      // pass analysis and fail at runtime inside the lazy books
+      // extraction with a ClassCastException
       case ArrayType(LongType, _) if right.foldable &&
-        right.dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+          (right.dataType match {
+            case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+            case _ => false
+          }) =>
+        val outer = right.eval(null).asInstanceOf[ArrayData]
+        if (outer == null || outer.numElements() == 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: codebook literal must be non-empty")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<bigint>, foldable array<array<array<double>>>)")
     }

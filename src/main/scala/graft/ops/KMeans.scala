@@ -97,6 +97,9 @@ object KMeans {
     require(books.length == outCols.length, "one output column per subspace")
     val sorted = books.map(_.sortBy(_.j))
     sorted.foreach(b => require(b.map(_.j) == b.indices, "centroid ids must be 0..k-1"))
+    require(!df.columns.contains("__codes"),
+      "assignMulti stages the kernel in a temp column named __codes; " +
+        "rename the caller's __codes column first (round-14 ADVICE guard)")
     val codes = call_function("graft_lloyd_assign_multi", col(vqCol),
       typedLit(sorted.map(_.map(_.c.toSeq))))
     // two-step projection: the kernel lands in its own column first, so
@@ -224,10 +227,15 @@ object KMeans {
     * cached input, so they run CONCURRENTLY (the optimization guide's
     * overlap-independent-jobs pattern) — same aggregates, same
     * integer sums, just overlapped wall clock. Requires
-    * kBooks >= kCells. */
+    * kBooks >= kCells. `cellIters` / `bookIters` are SEPARATE on
+    * purpose (round-14 ADVICE): the pre-joint form hardcoded 2 cell
+    * rounds while books took PqIters, and a single shared parameter
+    * would silently move the IVF cell centroids (and every downstream
+    * recall result) if PqIters were ever bumped. Rounds where only one
+    * side still trains run that side's update alone. */
   def lloydTrainJoint(df: DataFrame, vqFull: String, idCol: String,
       dims: Int, kCells: Int, vqCols: Seq[String], sub: Int, kBooks: Int,
-      iters: Int): (Seq[Centroid], Seq[Seq[Centroid]]) = {
+      cellIters: Int, bookIters: Int): (Seq[Centroid], Seq[Seq[Centroid]]) = {
     require(kBooks >= kCells,
       "joint seeding takes the cell seeds from the book-seed prefix")
     val seeds = seedCentroidsMulti(df, vqFull +: vqCols, idCol, kBooks)
@@ -237,21 +245,21 @@ object KMeans {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     var i = 0
-    while (i < iters - 1) {
+    while (i < math.max(cellIters, bookIters) - 1) {
       val c0 = cells; val b0 = books
-      val cellsF = Future {
+      val cellsF = if (i < cellIters - 1) Some(Future {
         updateCentroids(assign(df, vqFull, c0, "__ac"), vqFull, "__ac", dims, c0)
-      }
-      val booksF = Future {
+      }) else None
+      val booksF = if (i < bookIters - 1) Some(Future {
         var cur = df
         vqCols.indices.foreach { m =>
           cur = assign(cur, vqCols(m), b0(m), s"__a$m")
         }
         updateCentroidsMulti(cur, vqCols,
           vqCols.indices.map(m => s"__a$m"), sub, b0)
-      }
-      cells = Await.result(cellsF, Duration.Inf)
-      books = Await.result(booksF, Duration.Inf)
+      }) else None
+      cellsF.foreach(f => cells = Await.result(f, Duration.Inf))
+      booksF.foreach(f => books = Await.result(f, Duration.Inf))
       i += 1
     }
     (cells, books)

@@ -302,6 +302,10 @@ object AnalyticsQueries {
       val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc).limit(20)
         .collect() // k-row driver probe against the sketch
+      // both consumers (sketch agg + top-k) have run — the returned
+      // frame is driver-built, so the cache can be dropped here rather
+      // than leaking until session clearState (round-14, guide §5)
+      terms.unpersist(false)
       import spark.implicits._
       top.map { r =>
         val term = r.getString(0); val n = r.getLong(1)

@@ -78,9 +78,12 @@ object GraphQueries {
       // transitively) and nodes, then release edges: every rank round
       // reads only contrib + nodes, so holding both edge-sized caches
       // for the query's lifetime doubles its memory footprint for
-      // nothing (round-11 ADVICE).
-      contrib.count()
-      nodes.count()
+      // nothing (round-11 ADVICE). ONE union-count action instead of
+      // two sequential counts (round 14, guide §2.6): both cached
+      // subtrees materialize inside a single job, so the second
+      // driver round-trip disappears and the two cache builds overlap.
+      contrib.select(lit(1).as("one"))
+        .unionAll(nodes.select(lit(1).as("one"))).count()
       edges.unpersist(false)
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to Iters) {

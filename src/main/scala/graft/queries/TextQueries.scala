@@ -1853,8 +1853,12 @@ object TextQueries {
         .filter(size(col("w")) >= 2)
         // two consumers (the bigram explode below and the vocab count
         // v) otherwise re-run the regex tokenize over the corpus; the
-        // persist makes it one pass (round 13 — values unchanged)
+        // persist makes it one pass (round 13 — values unchanged).
+        // Both persists feed the RETURNED lazy plan, so the builder
+        // cannot unpersist them itself — registered for post-action
+        // release (round 14, VERDICT r13 item 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheReleases.register(d)
       val bg = d
         .select(col("doc_id"),
           explode(expr("sequence(1, size(w) - 1)")).as("i"), col("w"))
@@ -1862,6 +1866,7 @@ object TextQueries {
           expr("element_at(w, i)").as("w1"),
           expr("element_at(w, i + 1)").as("w2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheReleases.register(bg)
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
       val v = d.select(explode(col("w")).as("t")).distinct()

@@ -1461,8 +1461,10 @@ object VectorQueries {
     // cells + codebooks trained JOINTLY: one seed collect serves both
     // and the two update aggregates overlap (2 driver actions instead
     // of 4; values identical — see lloydTrainJoint)
+    // cellIters pinned at 2 (the pre-joint hardcoded value) so a
+    // future PqIters bump cannot silently move the IVF cell centroids
     val (cells, books) = graft.ops.KMeans.lloydTrainJoint(base, "vq",
-      "vec_id", Dims, IvfK, vqCols, PqSub, PqK, PqIters)
+      "vec_id", Dims, IvfK, vqCols, PqSub, PqK, 2, PqIters)
     // corpus index: cell + M codes, materialized once (the same
     // codegen barrier as pqAdcTopk — assignment projections must not
     // fuse into the rank sort) and registered for release
